@@ -1,0 +1,61 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on faked CPU devices
+(XLA_FORCE_HOST_PLATFORM_DEVICE_COUNT), mirroring SURVEY.md section 4's
+recommendation; real-TPU execution is exercised separately by bench.py and
+the driver's graft entry.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def load_image(name: str) -> np.ndarray:
+    """Load a PNG as float32 in [0, 1], shape [H, W, C] or [H, W]."""
+    from PIL import Image
+
+    with Image.open(FIXTURES / name) as im:
+        arr = np.asarray(im, dtype=np.float32) / 255.0
+    return arr
+
+
+def load_keypoint_list(name: str) -> np.ndarray:
+    """IPOL keypoint list: one 'row col sigma theta...' line per keypoint."""
+    rows = []
+    with open(FIXTURES / name) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                rows.append([float(p) for p in parts[:4]])
+    return np.asarray(rows, dtype=np.float32)
+
+
+def load_descriptors(name: str = "butterfly-descriptors.txt"):
+    """IPOL descriptor file: 'row col sigma theta f0..f127' per line."""
+    keys, feats = [], []
+    with open(FIXTURES / name) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            keys.append([float(p) for p in parts[:4]])
+            feats.append([int(float(p)) for p in parts[4:]])
+    return np.asarray(keys, dtype=np.float32), np.asarray(feats, dtype=np.int32)
+
+
+@pytest.fixture(scope="session")
+def butterfly() -> np.ndarray:
+    return load_image("butterfly.png")
