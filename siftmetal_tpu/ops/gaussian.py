@@ -51,6 +51,11 @@ def _conv1d_sym(image: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
         x4, kernel, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=image.dtype,
+        # True fp32 accumulation. The TPU default would multiply in
+        # bf16-ish precision, which empirically inflates fine-scale DoG
+        # extrema 2.5x vs the IPOL fixtures (CPU/HIGHEST reproduces the
+        # extra_NES fixture exactly: 3073 vs 3068).
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y.reshape(lead + y.shape[-2:])
 

@@ -1,0 +1,410 @@
+"""DoG extrema detection and keypoint refinement, TPU-native.
+
+Replaces the reference's atomic-append extrema kernel
+(/root/reference Sources/MetalShaders/Metal/SIFTExtrema.metal:62-110, wrapper
+Sources/SIFTMetal/Metal Compute/SIFTExtremaListKernel.swift:13) and the
+per-keypoint interpolation kernel
+(Sources/MetalShaders/Metal/SIFTInterpolate.metal:193-300) with a fully
+static-shape design:
+
+  * a dense 26-neighborhood strict-extrema mask over the whole DoG stack
+    (no atomics, no counter round-trip — the reference reads an atomic
+    counter on the CPU at Sources/SIFTMetal/SIFT/SIFTOctave.swift:198-203);
+  * ``jnp.nonzero(..., size=K)`` compaction into fixed candidate slots with a
+    validity mask (the honest version of the reference's fixed 4096-entry
+    buffers with silent-overflow risk, SIFTOctave.swift:22-26 — here overflow
+    is *reported*);
+  * a vmapped, fixed-iteration (masked-update) Newton refinement following
+    the IPOL algorithm the golden fixtures were generated with: the scale
+    index stays fixed during the walk and moves are clamped to the interior,
+    unlike the reference Metal kernel which also walks the scale axis
+    (SIFTInterpolate.metal:258-263) — fixture parity requires IPOL semantics.
+
+Everything here is pure and jittable; stage-by-stage acceptance flags are
+kept so tests can validate each IPOL pipeline stage (extra_NES /
+DoGSoftThresh / ExtrInterp / DoGThresh / OnEdgeResp / FarFromBorder
+fixtures) independently.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SiftConfig
+
+
+class OctaveKeypoints(NamedTuple):
+    """Padded per-octave keypoint slots (SoA; all arrays share leading [K]).
+
+    TPU equivalent of the reference's ``SIFTInterpolateOutputKeypoint``
+    records (include/SIFTInterpolate.h:34) — but with per-stage flags instead
+    of a single ``converged`` byte, so every IPOL filter stage is observable.
+    """
+
+    cand_valid: jnp.ndarray   # bool — slot holds a real extremum candidate
+    converged: jnp.ndarray    # bool — Newton refinement converged (ExtrInterp)
+    pass_hard: jnp.ndarray    # bool — ... and |value| > dog_threshold (DoGThresh)
+    pass_edge: jnp.ndarray    # bool — ... and curvature test ok (OnEdgeResp)
+    pass_border: jnp.ndarray  # bool — ... and 1-sigma disc inside image (FarFromBorder)
+    scale: jnp.ndarray        # int32 — DoG slice index (1..n_scales)
+    i: jnp.ndarray            # int32 — final discrete row, octave pixels
+    j: jnp.ndarray            # int32 — final discrete col, octave pixels
+    ofst_i: jnp.ndarray       # f32 — subpixel row offset in (-0.6, 0.6)
+    ofst_j: jnp.ndarray       # f32 — subpixel col offset
+    ofst_s: jnp.ndarray       # f32 — subpixel scale offset
+    x: jnp.ndarray            # f32 — row in input-image units: (i + ofst_i) * delta
+    y: jnp.ndarray            # f32 — col in input-image units
+    sigma: jnp.ndarray        # f32 — blur in input-image units
+    value: jnp.ndarray        # f32 — interpolated DoG response
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.cand_valid & self.pass_border
+
+
+class Keypoints(NamedTuple):
+    """Global padded keypoint set across octaves (SoA pytree).
+
+    The reference's array-of-structs ``[SIFTKeypoint]``
+    (Sources/SIFTMetal/SIFT/SIFTKeypoint.swift:11) as a struct-of-arrays.
+    """
+
+    valid: jnp.ndarray   # [N] bool
+    octave: jnp.ndarray  # [N] int32
+    scale: jnp.ndarray   # [N] int32 — discrete DoG/Gaussian slice index
+    i: jnp.ndarray       # [N] int32 — discrete row in octave pixels
+    j: jnp.ndarray       # [N] int32
+    ofst_s: jnp.ndarray  # [N] f32 — subpixel scale offset
+    x: jnp.ndarray       # [N] f32 — row, input-image units
+    y: jnp.ndarray       # [N] f32 — col, input-image units
+    sigma: jnp.ndarray   # [N] f32 — input-image units
+    value: jnp.ndarray   # [N] f32
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def extrema_candidate_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
+    """Static per-octave candidate slot count, scaled with octave area.
+
+    The reference uses a flat 4096 per octave (SIFTOctave.swift:22); we scale
+    with area (1 slot / 128 px is ~5x headroom over natural extrema density)
+    and *detect* overflow instead of silently truncating.
+    """
+    h, w = shape
+    k = max(256, (h * w) // 128)
+    k = min(k, config.max_extrema_per_octave)
+    return (k + 127) // 128 * 128
+
+
+def extrema_mask(dog: jnp.ndarray) -> jnp.ndarray:
+    """Strict 26-neighborhood extrema of a [S, H, W] DoG stack.
+
+    Returns bool [S-2, H-2, W-2]: mask[s-1, i-1, j-1] says dog[s, i, j] is
+    strictly greater (or strictly smaller) than all 26 neighbors — the IPOL
+    discrete-extrema test, same as SIFTExtrema.metal:84-90 except the
+    reference skips neighbor (-1,-1,-1) (off-by-one noted in SURVEY.md §2a);
+    we compare all 26.
+    """
+    s, h, w = dog.shape
+    center = dog[1:-1, 1:-1, 1:-1]
+    lo = jnp.full_like(center, jnp.inf)
+    hi = jnp.full_like(center, -jnp.inf)
+    for ds in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if ds == 0 and di == 0 and dj == 0:
+                    continue
+                nb = dog[1 + ds:s - 1 + ds, 1 + di:h - 1 + di, 1 + dj:w - 1 + dj]
+                lo = jnp.minimum(lo, nb)
+                hi = jnp.maximum(hi, nb)
+    return (center > hi) | (center < lo)
+
+
+def _taylor_step(cube: jnp.ndarray):
+    """One 3-D quadratic (Taylor) refinement step on a [3,3,3] DoG cube.
+
+    Axes of ``cube`` are (scale, row, col). Returns (ofst_i, ofst_j, ofst_s,
+    value): the offset that extremizes the local quadratic model,
+    alpha = -H^{-1} g, and the interpolated response
+    c + 0.5 * g . alpha (IPOL's full dot product — the reference Metal kernel
+    keeps only the first term, SIFTInterpolate.metal:96-100, a bug we do not
+    reproduce because the fixtures are IPOL-generated).
+    """
+    c = cube[1, 1, 1]
+    gi = 0.5 * (cube[1, 2, 1] - cube[1, 0, 1])
+    gj = 0.5 * (cube[1, 1, 2] - cube[1, 1, 0])
+    gs = 0.5 * (cube[2, 1, 1] - cube[0, 1, 1])
+
+    hii = cube[1, 2, 1] + cube[1, 0, 1] - 2.0 * c
+    hjj = cube[1, 1, 2] + cube[1, 1, 0] - 2.0 * c
+    hss = cube[2, 1, 1] + cube[0, 1, 1] - 2.0 * c
+    hij = 0.25 * (cube[1, 2, 2] - cube[1, 2, 0] - cube[1, 0, 2] + cube[1, 0, 0])
+    his = 0.25 * (cube[2, 2, 1] - cube[2, 0, 1] - cube[0, 2, 1] + cube[0, 0, 1])
+    hjs = 0.25 * (cube[2, 1, 2] - cube[2, 1, 0] - cube[0, 1, 2] + cube[0, 1, 0])
+
+    # Analytic 3x3 inverse via the adjugate (the TPU version of
+    # Common.hpp:34-47); a singular Hessian yields non-finite offsets which
+    # fail the convergence test, matching IPOL's behavior of never accepting
+    # such candidates.
+    det = (
+        hii * (hjj * hss - hjs * hjs)
+        - hij * (hij * hss - hjs * his)
+        + his * (hij * hjs - hjj * his)
+    )
+    aa = (hjj * hss - hjs * hjs) / det
+    ab = (his * hjs - hij * hss) / det
+    ac = (hij * hjs - his * hjj) / det
+    bb = (hii * hss - his * his) / det
+    bc = (his * hij - hii * hjs) / det
+    cc = (hii * hjj - hij * hij) / det
+
+    ofst_i = -(aa * gi + ab * gj + ac * gs)
+    ofst_j = -(ab * gi + bb * gj + bc * gs)
+    ofst_s = -(ac * gi + bc * gj + cc * gs)
+    value = c + 0.5 * (gi * ofst_i + gj * ofst_j + gs * ofst_s)
+    return ofst_i, ofst_j, ofst_s, value
+
+
+def _refine_one(
+    dog: jnp.ndarray,
+    s0: jnp.ndarray,
+    i0: jnp.ndarray,
+    j0: jnp.ndarray,
+    *,
+    max_iterations: int,
+    max_offset: float,
+):
+    """IPOL keypoint interpolation for one candidate (vmapped by caller).
+
+    Fixed ``max_iterations`` Taylor steps with masked updates (the TPU form
+    of the early-exit walk at SIFTInterpolate.metal:231-270). The +-1 moves
+    along rows/cols/scale are clamped to the interior ([1, dim-2] spatially,
+    [1, n_interior_scales] along scale) exactly like IPOL — validated
+    empirically against the extra_ExtrInterp fixture (1942 converged vs
+    IPOL's 1934, the +8 tracing back to borderline extra NES candidates).
+    """
+    h, w = dog.shape[1], dog.shape[2]
+    s_max = dog.shape[0] - 2  # interior DoG slices are 1..n_scales
+    mo = jnp.float32(max_offset)
+
+    def body(_, carry):
+        s, i, j, conv, done, oi, oj, os_, val = carry
+        cube = lax.dynamic_slice(
+            dog,
+            (s - 1, i - 1, j - 1),
+            (3, 3, 3),
+        )
+        noi, noj, nos, nval = _taylor_step(cube)
+        nconv = (
+            (jnp.abs(noi) < mo) & (jnp.abs(noj) < mo) & (jnp.abs(nos) < mo)
+        )
+        di = jnp.where((noi > mo) & (i + 1 <= h - 2), 1, 0) + jnp.where(
+            (noi < -mo) & (i - 1 >= 1), -1, 0
+        )
+        dj = jnp.where((noj > mo) & (j + 1 <= w - 2), 1, 0) + jnp.where(
+            (noj < -mo) & (j - 1 >= 1), -1, 0
+        )
+        ds = jnp.where((nos > mo) & (s + 1 <= s_max), 1, 0) + jnp.where(
+            (nos < -mo) & (s - 1 >= 1), -1, 0
+        )
+        active = ~done
+        conv = jnp.where(active, nconv, conv)
+        oi = jnp.where(active, noi, oi)
+        oj = jnp.where(active, noj, oj)
+        os_ = jnp.where(active, nos, os_)
+        val = jnp.where(active, nval, val)
+        move = active & ~nconv
+        i = jnp.where(move, i + di, i)
+        j = jnp.where(move, j + dj, j)
+        s = jnp.where(move, s + ds, s)
+        return s, i, j, conv, done | nconv, oi, oj, os_, val
+
+    init = (
+        s0,
+        i0,
+        j0,
+        jnp.bool_(False),
+        jnp.bool_(False),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+    )
+    s, i, j, conv, _, oi, oj, os_, val = lax.fori_loop(
+        0, max_iterations, body, init
+    )
+    return s, i, j, conv, oi, oj, os_, val
+
+
+def _edge_ok(dog: jnp.ndarray, s, i, j, edge_threshold: float):
+    """IPOL edge-response test on the 2-D Hessian at the final discrete
+    position (the TPU version of isOnEdge, SIFTInterpolate.metal:17-61,
+    but with IPOL's signed-ratio acceptance |tr^2/det| <= (r+1)^2/r)."""
+    patch = lax.dynamic_slice(dog, (s, i - 1, j - 1), (1, 3, 3))[0]
+    c = patch[1, 1]
+    hii = patch[2, 1] + patch[0, 1] - 2.0 * c
+    hjj = patch[1, 2] + patch[1, 0] - 2.0 * c
+    hij = 0.25 * ((patch[2, 2] - patch[2, 0]) - (patch[0, 2] - patch[0, 0]))
+    edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
+    r = edge_threshold
+    return jnp.abs(edge_resp) <= (r + 1.0) ** 2 / r
+
+
+def detect_octave(
+    dog: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
+    """Full detection for one octave's [S, H, W] DoG stack.
+
+    Returns padded keypoint slots plus per-stage counters mirroring the IPOL
+    fixture stages (extra_NES .. extra_FarFromBorder). ``counters['overflow']``
+    is nonzero iff candidates exceeded the static slot budget — the honest
+    version of the reference's silent 4096 cap (SIFTOctave.swift:22-26).
+    """
+    s_dim, h, w = dog.shape
+    delta = config.octave_delta(octave)
+    sigmas = jnp.asarray(config.octave_sigmas(octave), dtype=jnp.float32)
+    sigma_ratio = 2.0 ** (1.0 / config.n_scales_per_octave)
+    k = extrema_candidate_budget(config, (h, w))
+
+    mask = extrema_mask(dog)
+    center = dog[1:-1, 1:-1, 1:-1]
+    soft = mask & (jnp.abs(center) > 0.8 * config.dog_threshold)
+
+    n_extrema = jnp.sum(mask.astype(jnp.int32))
+    n_soft = jnp.sum(soft.astype(jnp.int32))
+
+    flat = jnp.nonzero(soft.reshape(-1), size=k, fill_value=0)[0]
+    cand_valid = jnp.arange(k) < n_soft
+    hh, ww = h - 2, w - 2
+    s_idx = (flat // (hh * ww) + 1).astype(jnp.int32)
+    rem = flat % (hh * ww)
+    i_idx = (rem // ww + 1).astype(jnp.int32)
+    j_idx = (rem % ww + 1).astype(jnp.int32)
+
+    refine = jax.vmap(
+        partial(
+            _refine_one,
+            dog,
+            max_iterations=config.max_interpolation_iterations,
+            max_offset=config.max_interpolation_offset,
+        )
+    )
+    s_f, i_f, j_f, conv, oi, oj, os_, val = refine(s_idx, i_idx, j_idx)
+
+    pass_hard = conv & (jnp.abs(val) > config.dog_threshold)
+    edge_ok = jax.vmap(
+        partial(_edge_ok, dog, edge_threshold=config.edge_threshold)
+    )(s_f, i_f, j_f)
+    pass_edge = pass_hard & edge_ok
+
+    x = (i_f.astype(jnp.float32) + oi) * delta
+    y = (j_f.astype(jnp.float32) + oj) * delta
+    sigma = sigmas[s_f] * sigma_ratio ** os_
+
+    # IPOL keypoints_discard_near_the_border: the 1-sigma disc must lie
+    # inside the input image (input-image units).
+    img_h = h * delta
+    img_w = w * delta
+    border_ok = (
+        (x - sigma > 0.0)
+        & (x + sigma < img_h)
+        & (y - sigma > 0.0)
+        & (y + sigma < img_w)
+    )
+    pass_border = pass_edge & border_ok
+
+    kp = OctaveKeypoints(
+        cand_valid=cand_valid,
+        converged=conv & cand_valid,
+        pass_hard=pass_hard & cand_valid,
+        pass_edge=pass_edge & cand_valid,
+        pass_border=pass_border & cand_valid,
+        scale=s_f,
+        i=i_f,
+        j=j_f,
+        ofst_i=oi,
+        ofst_j=oj,
+        ofst_s=os_,
+        x=x,
+        y=y,
+        sigma=sigma,
+        value=val,
+    )
+    counters = {
+        "n_extrema": n_extrema,
+        "n_soft": n_soft,
+        "n_interp": jnp.sum(kp.converged.astype(jnp.int32)),
+        "n_hard": jnp.sum(kp.pass_hard.astype(jnp.int32)),
+        "n_edge": jnp.sum(kp.pass_edge.astype(jnp.int32)),
+        "n_border": jnp.sum(kp.pass_border.astype(jnp.int32)),
+        "overflow": jnp.maximum(n_soft - k, 0),
+    }
+    return kp, counters
+
+
+def detect(
+    dogs: Sequence[jnp.ndarray],
+    config: SiftConfig,
+) -> Tuple[List[OctaveKeypoints], Dict[str, jnp.ndarray]]:
+    """Detection over all octaves. Octave loop unrolls at trace time
+    (per-octave shapes differ; frames, not octaves, are the batch axis)."""
+    per_octave: List[OctaveKeypoints] = []
+    totals: Dict[str, jnp.ndarray] = {}
+    for o, dog in enumerate(dogs):
+        kp, counters = detect_octave(dog, o, config)
+        per_octave.append(kp)
+        for key, v in counters.items():
+            totals[key] = totals.get(key, 0) + v
+    return per_octave, totals
+
+
+def gather_keypoints(
+    per_octave: Sequence[OctaveKeypoints],
+    config: SiftConfig,
+) -> Keypoints:
+    """Compact per-octave padded slots into one global [max_keypoints] set.
+
+    The second (global) compaction bounds all downstream per-keypoint work,
+    replacing the reference's per-octave CPU read-back loops
+    (Sources/SIFTMetal/SIFT/SIFT.swift:177-204) with one on-device gather.
+    """
+    n = config.max_keypoints
+
+    def cat(field):
+        return jnp.concatenate([getattr(kp, field) for kp in per_octave])
+
+    valid = jnp.concatenate([kp.valid for kp in per_octave])
+    octave = jnp.concatenate(
+        [
+            jnp.full(kp.scale.shape, o, dtype=jnp.int32)
+            for o, kp in enumerate(per_octave)
+        ]
+    )
+    count = jnp.sum(valid.astype(jnp.int32))
+    order = jnp.nonzero(valid, size=n, fill_value=0)[0]
+    out_valid = jnp.arange(n) < count
+
+    def take(a):
+        return a[order]
+
+    return Keypoints(
+        valid=out_valid,
+        octave=take(octave),
+        scale=take(cat("scale")),
+        i=take(cat("i")),
+        j=take(cat("j")),
+        ofst_s=take(cat("ofst_s")),
+        x=take(cat("x")),
+        y=take(cat("y")),
+        sigma=take(cat("sigma")),
+        value=take(cat("value")),
+    )

@@ -1,0 +1,103 @@
+"""Detection parity vs the IPOL stage fixtures.
+
+The reference ships stage-by-stage IPOL keypoint dumps
+(Tests/SIFTMetalTests/Resources/extra_*.txt) but never asserts on them
+(KeypointTests.swift:15-87 is a visual check only). Here every stage is
+asserted numerically: counts within 1% of IPOL's, and positions/sigmas of
+the final keypoint set matching the reference list to sub-0.1px.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from siftmetal_tpu.config import SiftConfig
+from siftmetal_tpu.ops.image import rgb_to_gray
+from siftmetal_tpu.sift.pyramid import build_pyramid
+from siftmetal_tpu.sift.detect import detect, extrema_mask, gather_keypoints
+
+from conftest import load_image, load_keypoint_list
+
+CFG = SiftConfig()
+
+# IPOL stage counts for butterfly.png (fixture line counts; see BASELINE.md).
+IPOL_COUNTS = {
+    "n_extrema": 3068,
+    "n_soft": 2130,
+    "n_interp": 1934,
+    "n_hard": 1769,
+    "n_edge": 1304,
+    "n_border": 1304,
+}
+
+
+@pytest.fixture(scope="module")
+def detection(butterfly):
+    gray = rgb_to_gray(butterfly)
+    n_oct = CFG.num_octaves(*gray.shape)
+
+    @jax.jit
+    def run(gray):
+        _, dogs = build_pyramid(gray, CFG, n_oct)
+        per_octave, counters = detect(dogs, CFG)
+        return gather_keypoints(per_octave, CFG), counters
+
+    kps, counters = run(gray)
+    return kps, {k: int(v) for k, v in counters.items()}
+
+
+def test_stage_counts_match_ipol(detection):
+    _, counters = detection
+    assert counters["overflow"] == 0
+    for stage, expected in IPOL_COUNTS.items():
+        got = counters[stage]
+        # Float-path differences flip only borderline extrema; 1% slack.
+        assert abs(got - expected) <= max(10, 0.01 * expected), (
+            stage,
+            got,
+            expected,
+        )
+
+
+def test_final_keypoints_match_ipol(detection):
+    kps, _ = detection
+    valid = np.asarray(kps.valid)
+    pts = np.stack(
+        [np.asarray(kps.x)[valid], np.asarray(kps.y)[valid]], axis=1
+    )
+    sigma = np.asarray(kps.sigma)[valid]
+    ref = load_keypoint_list("extra_OnEdgeResp_butterfly.txt")
+
+    # Every IPOL keypoint must be reproduced almost exactly.
+    d2 = ((pts[None, :, :] - ref[:, None, :2]) ** 2).sum(-1)
+    nearest = d2.argmin(axis=1)
+    dist = np.sqrt(d2[np.arange(len(ref)), nearest])
+    matched = dist < 0.1
+    assert matched.mean() >= 0.995, matched.mean()
+    sig_err = np.abs(sigma[nearest[matched]] - ref[matched, 2]) / ref[
+        matched, 2
+    ]
+    assert np.quantile(sig_err, 0.99) < 1e-3
+
+
+def test_extrema_mask_synthetic():
+    # A single bright spike in an otherwise flat stack is the only extremum
+    # (plus the strict-minimum ring it induces must NOT fire on flat ties).
+    dog = np.zeros((3, 8, 8), dtype=np.float32)
+    dog[1, 4, 4] = 1.0
+    m = np.asarray(extrema_mask(jax.numpy.asarray(dog)))
+    assert m[0, 3, 3]  # (s=1, i=4, j=4)
+    assert m.sum() == 1
+
+
+def test_detect_counters_are_consistent(detection):
+    _, c = detection
+    assert (
+        c["n_extrema"]
+        >= c["n_soft"]
+        >= c["n_interp"]
+        >= c["n_hard"]
+        >= c["n_edge"]
+        >= c["n_border"]
+    )
