@@ -67,6 +67,50 @@ class OctaveKeypoints(NamedTuple):
         return self.cand_valid & self.pass_border
 
 
+class CompactOctaveKeypoints(NamedTuple):
+    """Compacted per-octave keypoints: only what orientation/descriptor
+    stages need, in a smaller padded buffer (slots = keypoint_budget)."""
+
+    valid: jnp.ndarray      # [K] bool
+    scale: jnp.ndarray      # [K] int32 — discrete Gaussian/DoG slice (1..n)
+    x_oct: jnp.ndarray      # [K] f32 — continuous row, octave pixels
+    y_oct: jnp.ndarray      # [K] f32 — continuous col, octave pixels
+    sigma_oct: jnp.ndarray  # [K] f32 — blur in octave-pixel units
+    x: jnp.ndarray          # [K] f32 — row, input-image units
+    y: jnp.ndarray          # [K] f32 — col, input-image units
+    sigma: jnp.ndarray      # [K] f32 — input-image units
+    value: jnp.ndarray      # [K] f32
+
+
+def keypoint_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
+    """Static per-octave keypoint slots after refinement (~1/4 of the
+    extrema budget; overflow detected by callers via counts)."""
+    k = max(128, extrema_candidate_budget(config, shape) // 4)
+    return min((k + 127) // 128 * 128, config.max_keypoints)
+
+
+def compact_octave_keypoints(
+    kp: OctaveKeypoints, octave: int, config: SiftConfig, budget: int
+) -> CompactOctaveKeypoints:
+    """Gather surviving keypoints into ``budget`` padded slots on-device."""
+    delta = config.octave_delta(octave)
+    valid = kp.valid
+    count = jnp.sum(valid.astype(jnp.int32))
+    order = jnp.nonzero(valid, size=budget, fill_value=0)[0]
+    out_valid = jnp.arange(budget) < count
+    return CompactOctaveKeypoints(
+        valid=out_valid,
+        scale=kp.scale[order],
+        x_oct=(kp.i.astype(jnp.float32) + kp.ofst_i)[order],
+        y_oct=(kp.j.astype(jnp.float32) + kp.ofst_j)[order],
+        sigma_oct=kp.sigma[order] / delta,
+        x=kp.x[order],
+        y=kp.y[order],
+        sigma=kp.sigma[order],
+        value=kp.value[order],
+    )
+
+
 class Keypoints(NamedTuple):
     """Global padded keypoint set across octaves (SoA pytree).
 

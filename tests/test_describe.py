@@ -1,0 +1,107 @@
+"""Orientation + descriptor parity vs the IPOL butterfly-descriptors fixture.
+
+The reference's DescriptorTests render images for manual review and its one
+quantitative assertion is unused and buggy
+(Tests/SIFTMetalTests/DescriptorTests.swift:75-87, compares a 0-1 ratio to
+80.0). Here the comparison is asserted: the fixture's 1609 descriptors
+(row col sigma theta f0..f127 + 36-bin orientation histogram per line) must
+be reproduced keypoint-by-keypoint.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from siftmetal_tpu.config import SiftConfig
+from siftmetal_tpu.sift.describe import gradients, quantize_descriptors
+from siftmetal_tpu.sift.extract import SIFT
+
+from conftest import load_image
+
+CFG = SiftConfig()
+
+
+@pytest.fixture(scope="module")
+def extraction(butterfly):
+    sift = SIFT(butterfly.shape[0], butterfly.shape[1], CFG)
+    kps, descs, counters = sift.extract(butterfly)
+    valid = np.asarray(descs.valid)
+    return (
+        np.stack([np.asarray(descs.x)[valid], np.asarray(descs.y)[valid]], 1),
+        np.asarray(descs.theta)[valid],
+        np.asarray(descs.features)[valid],
+        {k: int(v) for k, v in counters.items()},
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_descriptors():
+    return np.loadtxt(
+        str(load_image.__globals__["FIXTURES"] / "butterfly-descriptors.txt")
+    )
+
+
+def test_descriptor_count(extraction, fixture_descriptors):
+    _, _, feats, counters = extraction
+    assert counters["descriptor_overflow"] == 0
+    # IPOL emits 1609 descriptors; borderline detection differences allow 5%.
+    assert abs(len(feats) - len(fixture_descriptors)) <= 0.05 * len(
+        fixture_descriptors
+    )
+
+
+def test_descriptors_match_ipol(extraction, fixture_descriptors):
+    pts, theta, feats, _ = extraction
+    ref = fixture_descriptors
+
+    # A multi-orientation keypoint contributes several lanes at the same
+    # position; match each fixture entry to the nearest-theta lane among
+    # lanes within 0.05 px.
+    d2 = ((pts[None, :, :] - ref[:, None, :2]) ** 2).sum(-1)
+    dth = np.abs(
+        np.mod(theta[None, :] - ref[:, 3, None] + np.pi, 2 * np.pi) - np.pi
+    )
+    dth = np.where(d2 < 0.05 ** 2, dth, np.inf)
+    nearest = dth.argmin(1)
+    matched = dth[np.arange(len(ref)), nearest] < 0.05
+    # >= 93% of IPOL descriptors have a (position, theta)-matching twin.
+    assert matched.mean() >= 0.93, matched.mean()
+
+    q = feats[nearest[matched]].astype(np.float64)
+    q_ref = ref[matched, 4:132]
+    rel = np.linalg.norm(q - q_ref, axis=1) / np.linalg.norm(q_ref, axis=1)
+    assert np.quantile(rel, 0.5) < 0.01, np.quantile(rel, 0.5)
+    assert (rel < 0.1).mean() >= 0.98, (rel < 0.1).mean()
+
+
+def test_gradients_convention():
+    # Image increasing along columns: d/dcol = 1, d/drow = 0.
+    img = np.tile(np.arange(8, dtype=np.float32), (8, 1))
+    gi, gj = gradients(jnp.asarray(img[None]))
+    np.testing.assert_allclose(np.asarray(gi[0])[1:-1, 1:-1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gj[0])[1:-1, 1:-1], 1.0, atol=1e-6)
+    # Mirrored edge: half one-sided difference.
+    np.testing.assert_allclose(np.asarray(gj[0])[:, 0], 0.5, atol=1e-6)
+
+
+def test_quantization():
+    raw = np.zeros((1, 128), dtype=np.float32)
+    raw[0, :4] = [10.0, 1.0, 0.5, 0.1]
+    q = np.asarray(quantize_descriptors(jnp.asarray(raw), CFG))
+    # Clip at 0.2*norm dominates the big bin; quantized values <= 255.
+    assert q.dtype == np.uint8
+    assert q[0, 0] == 255  # 512 * 0.2*norm/norm2 > 255 -> saturates
+    assert (q[0, 4:] == 0).all()
+
+
+def test_batched_extract_matches_single(butterfly):
+    small = np.asarray(butterfly, dtype=np.float32)[:64, :96]
+    sift = SIFT(64, 96, CFG)
+    k1, d1, _ = sift.extract(small)
+    kb, db, _ = sift.extract_batch(np.stack([small, small]))
+    np.testing.assert_array_equal(np.asarray(db.valid[0]), np.asarray(d1.valid))
+    np.testing.assert_array_equal(
+        np.asarray(db.features[0]), np.asarray(d1.features)
+    )
+    np.testing.assert_array_equal(np.asarray(kb.valid[0]), np.asarray(k1.valid))
