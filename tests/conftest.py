@@ -50,16 +50,23 @@ def load_keypoint_list(name: str) -> np.ndarray:
 
 
 def load_descriptors(name: str = "butterfly-descriptors.txt"):
-    """IPOL descriptor file: 'row col sigma theta f0..f127' per line."""
-    keys, feats = [], []
+    """IPOL descriptor file: 'row col sigma theta f0..f127 orihist0..35'
+    per line (168 columns; the trailing 36 are the orientation histogram).
+    Returns (keys [N,4], features [N,128] int, ori_hists [N,36] float)."""
+    keys, feats, hists = [], [], []
     with open(FIXTURES / name) as f:
         for line in f:
             parts = line.split()
             if not parts:
                 continue
             keys.append([float(p) for p in parts[:4]])
-            feats.append([int(float(p)) for p in parts[4:]])
-    return np.asarray(keys, dtype=np.float32), np.asarray(feats, dtype=np.int32)
+            feats.append([int(float(p)) for p in parts[4:132]])
+            hists.append([float(p) for p in parts[132:168]])
+    return (
+        np.asarray(keys, dtype=np.float32),
+        np.asarray(feats, dtype=np.int32),
+        np.asarray(hists, dtype=np.float32),
+    )
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,138 @@
+"""Matching: exact 2-NN, two-stage ANN recall, geometry score.
+
+Mirrors the intent of the reference's DescriptorTests.testMatches /
+matchDescriptors (Tests/SIFTMetalTests/DescriptorTests.swift:89-139, 75-87)
+with the >= 80% match-rate assertion actually enforced (the reference's is
+unused and buggy), plus the ANN-vs-exact recall benchmark from the
+commented-out TrieTests (TrieTests.swift:12-202).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from siftmetal_tpu.config import SiftConfig
+from siftmetal_tpu.match.matcher import (
+    Matches,
+    geometry_score,
+    match_bruteforce,
+    match_two_stage,
+)
+from siftmetal_tpu.sift.extract import SIFT
+
+from conftest import load_descriptors
+
+CFG = SiftConfig()
+
+
+@pytest.fixture(scope="module")
+def ours(butterfly):
+    sift = SIFT(butterfly.shape[0], butterfly.shape[1], CFG)
+    _, descs, _ = sift.extract(butterfly)
+    return descs
+
+
+@pytest.fixture(scope="module")
+def ipol():
+    keys, feats, _ = load_descriptors()
+    return keys, feats
+
+
+def test_self_match_is_identity(ours):
+    m = match_bruteforce(
+        ours.features, ours.features, ours.valid, ours.valid
+    )
+    v = np.asarray(ours.valid)
+    idx = np.asarray(m.target_idx)
+    ok = np.asarray(m.valid)
+    # Self-distance is 0, so every accepted match maps to itself.
+    assert (idx[ok] == np.nonzero(v)[0][: len(idx)][ok[: v.sum()]]).all() or (
+        idx[ok] == np.arange(len(idx))[ok]
+    ).all()
+    # Most valid descriptors accept (duplicate twins may fail ratio test).
+    assert ok.sum() >= 0.9 * v.sum()
+
+
+def test_match_vs_ipol_descriptors(ours, ipol):
+    keys, feats = ipol
+    pad = np.zeros((2048 - len(feats) % 2048 if len(feats) % 2048 else 0, 128))
+    t_feats = jnp.asarray(
+        np.concatenate([feats, pad]).astype(np.uint8)
+    )
+    t_valid = jnp.asarray(
+        np.concatenate([np.ones(len(feats)), np.zeros(len(pad))]).astype(bool)
+    )
+    m = match_bruteforce(
+        ours.features, t_feats, ours.valid, t_valid,
+        absolute_threshold=1.176, ratio_threshold=0.6,
+    )
+    ok = np.asarray(m.valid)
+    n_ours = int(np.asarray(ours.valid).sum())
+    rate = ok.sum() / n_ours
+    # Reference intended >= 80% (DescriptorTests.swift:84-86).
+    assert rate >= 0.8, rate
+
+    # Matched pairs must be the SAME physical keypoint: positions within 1px.
+    qx = np.asarray(ours.x)[ok]
+    qy = np.asarray(ours.y)[ok]
+    t_idx = np.asarray(m.target_idx)[ok]
+    t_pos = keys[t_idx][:, :2]
+    dist = np.hypot(qx - t_pos[:, 0], qy - t_pos[:, 1])
+    assert (dist < 1.0).mean() >= 0.99, (dist < 1.0).mean()
+
+
+def test_two_stage_recall(ours, ipol):
+    keys, feats = ipol
+    t_feats = jnp.asarray(feats.astype(np.uint8))
+    t_valid = jnp.ones(len(feats), dtype=bool)
+    exact = match_bruteforce(ours.features, t_feats, ours.valid, t_valid)
+    approx = match_two_stage(
+        ours.features, t_feats, ours.valid, t_valid, n_candidates=32
+    )
+    both = np.asarray(exact.valid) & np.asarray(approx.valid)
+    agree = (
+        np.asarray(exact.target_idx)[both]
+        == np.asarray(approx.target_idx)[both]
+    ).mean()
+    recall = np.asarray(approx.valid).sum() / np.asarray(exact.valid).sum()
+    assert agree >= 0.99, agree
+    assert recall >= 0.97, recall
+
+
+def test_geometry_score_discriminates():
+    rng = np.random.default_rng(0)
+    n = 100
+    q_xy = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+    # A clean similarity transform: rotation + scale + shift.
+    a = 0.4
+    rot = np.array(
+        [[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], dtype=np.float32
+    )
+    t_xy = (q_xy @ rot.T) * 1.3 + 17.0
+    m = Matches(
+        target_idx=jnp.arange(n, dtype=jnp.int32),
+        distance=jnp.zeros(n),
+        second_distance=jnp.ones(n),
+        valid=jnp.ones(n, dtype=bool),
+    )
+    good = float(
+        geometry_score(m, jnp.asarray(q_xy), jnp.asarray(t_xy))
+    )
+    bad = float(
+        geometry_score(
+            m,
+            jnp.asarray(q_xy),
+            jnp.asarray(rng.uniform(0, 300, (n, 2)).astype(np.float32)),
+        )
+    )
+    assert good > 0.95, good
+    assert bad < 0.6, bad
+    # Too few matches -> score 0 (SIFTDescriptor.swift:128-131).
+    few = Matches(
+        target_idx=m.target_idx,
+        distance=m.distance,
+        second_distance=m.second_distance,
+        valid=jnp.arange(n) < 5,
+    )
+    assert float(geometry_score(few, jnp.asarray(q_xy), jnp.asarray(t_xy))) == 0.0
