@@ -1,0 +1,142 @@
+"""Bundle adjustment + camera math on synthetic scenes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from siftmetal_tpu.slam.ba import BAProblem, bundle_adjust, cost, residuals
+from siftmetal_tpu.slam.camera import (
+    compose,
+    inverse,
+    project,
+    relative,
+    rodrigues,
+    so3_log,
+)
+
+
+def test_rodrigues_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        w = rng.uniform(-1.5, 1.5, 3).astype(np.float32)
+        r = np.asarray(rodrigues(jnp.asarray(w)))
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        w2 = np.asarray(so3_log(jnp.asarray(r)))
+        np.testing.assert_allclose(w, w2, atol=1e-4)
+
+
+def test_compose_inverse():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-0.5, 0.5, 6).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-0.5, 0.5, 6).astype(np.float32))
+    ident = np.asarray(compose(a, inverse(a)))
+    np.testing.assert_allclose(ident, np.zeros(6), atol=1e-5)
+    rel = relative(a, b)
+    # x_b == rel(x_a) for a random point.
+    x = jnp.asarray(rng.uniform(-1, 1, 3).astype(np.float32))
+    from siftmetal_tpu.slam.camera import transform
+
+    np.testing.assert_allclose(
+        np.asarray(transform(rel, transform(a, x))),
+        np.asarray(transform(b, x)),
+        atol=1e-5,
+    )
+
+
+@pytest.fixture
+def ba_scene():
+    rng = np.random.default_rng(42)
+    n_cam, n_lm = 6, 256
+    k = np.array([[400, 0, 320], [0, 400, 240], [0, 0, 1]], dtype=np.float32)
+    lms = rng.uniform([-3, -3, 6], [3, 3, 12], (n_lm, 3)).astype(np.float32)
+    cams = np.zeros((n_cam, 6), dtype=np.float32)
+    cams[:, 3] = np.linspace(-1, 1, n_cam)          # tx baseline
+    cams[:, :3] = rng.uniform(-0.05, 0.05, (n_cam, 3))
+
+    cam_idx = np.repeat(np.arange(n_cam), n_lm).astype(np.int32)
+    lm_idx = np.tile(np.arange(n_lm), n_cam).astype(np.int32)
+    uv = np.stack(
+        [
+            np.asarray(
+                project(jnp.asarray(cams[c]), jnp.asarray(k), jnp.asarray(lms[l]))
+            )
+            for c, l in zip(cam_idx, lm_idx)
+        ]
+    ).astype(np.float32)
+    valid = np.ones(len(uv), dtype=bool)
+    return cams, lms, k, cam_idx, lm_idx, uv, valid
+
+
+def test_ba_converges(ba_scene):
+    cams, lms, k, cam_idx, lm_idx, uv, valid = ba_scene
+    rng = np.random.default_rng(0)
+    noisy_cams = cams + rng.normal(0, 0.01, cams.shape).astype(np.float32)
+    noisy_cams[:2] = cams[:2]  # gauge: first two cameras fixed
+    noisy_lms = lms + rng.normal(0, 0.05, lms.shape).astype(np.float32)
+
+    problem = BAProblem(
+        cameras=jnp.asarray(noisy_cams),
+        landmarks=jnp.asarray(noisy_lms),
+        k=jnp.asarray(k),
+        cam_idx=jnp.asarray(cam_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv),
+        valid=jnp.asarray(valid),
+        fixed_cameras=2,
+    )
+    out, stats = jax.jit(
+        lambda p: bundle_adjust(p, n_iterations=8, damping=1e-4)
+    )(problem)
+    assert float(stats.initial_cost) > 1e3
+    assert float(stats.final_cost) < 1e-2 * float(stats.initial_cost)
+    rms = np.sqrt(
+        2 * float(stats.final_cost) / float(stats.n_observations)
+    )
+    assert rms < 0.05, rms  # sub-0.05px mean reprojection after BA
+    # Fixed cameras untouched.
+    np.testing.assert_array_equal(np.asarray(out.cameras[:2]), noisy_cams[:2])
+
+
+def test_ba_huber_rejects_outliers(ba_scene):
+    cams, lms, k, cam_idx, lm_idx, uv, valid = ba_scene
+    rng = np.random.default_rng(5)
+    uv_bad = uv.copy()
+    n_out = 100
+    out_sel = rng.choice(len(uv), n_out, replace=False)
+    uv_bad[out_sel] += rng.uniform(30, 80, (n_out, 2)).astype(np.float32)
+
+    noisy_lms = lms + rng.normal(0, 0.05, lms.shape).astype(np.float32)
+    problem = BAProblem(
+        cameras=jnp.asarray(cams),
+        landmarks=jnp.asarray(noisy_lms),
+        k=jnp.asarray(k),
+        cam_idx=jnp.asarray(cam_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv_bad),
+        valid=jnp.asarray(valid),
+        fixed_cameras=2,
+    )
+    out_plain, _ = jax.jit(
+        lambda p: bundle_adjust(p, n_iterations=25, damping=1e-4)
+    )(problem)
+    out_huber, _ = jax.jit(
+        lambda p: bundle_adjust(
+            p, n_iterations=25, damping=1e-4, huber_delta=2.0
+        )
+    )(problem)
+    # Landmarks not touched by any outlier observation must be recovered;
+    # plain least squares lets the outliers poison the whole solution.
+    hit = np.zeros(len(lms), dtype=bool)
+    hit[lm_idx[out_sel]] = True
+    err_plain = np.linalg.norm(
+        np.asarray(out_plain.landmarks) - lms, axis=1
+    )[~hit].mean()
+    err_huber = np.linalg.norm(
+        np.asarray(out_huber.landmarks) - lms, axis=1
+    )[~hit].mean()
+    assert err_huber < 0.1 * err_plain, (err_huber, err_plain)
+    assert err_huber < 0.05, err_huber
+    # Free cameras stay near ground truth under the robust loss.
+    assert np.abs(np.asarray(out_huber.cameras) - cams).max() < 0.05
