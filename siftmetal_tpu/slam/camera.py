@@ -41,16 +41,47 @@ def rodrigues(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(r: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle [3]."""
-    cos_t = jnp.clip((jnp.trace(r) - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    v = jnp.array(
-        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    """Rotation matrix -> axis-angle [3], stable for all angles incl. pi.
+
+    Goes through a branchless (jnp.select) Shepperd quaternion extraction —
+    the naive theta/(2 sin theta) formula blows up at theta = pi, which
+    real pose graphs do hit (e.g. a keyframe loop crossing yaw = pi).
+    """
+    m00, m01, m02 = r[0, 0], r[0, 1], r[0, 2]
+    m10, m11, m12 = r[1, 0], r[1, 1], r[1, 2]
+    m20, m21, m22 = r[2, 0], r[2, 1], r[2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-24))
+
+    # Four Shepperd cases: trace-dominant or one of the diagonal elements.
+    s0 = safe_sqrt(1.0 + tr) * 2.0
+    q0 = jnp.stack([0.25 * s0, (m21 - m12) / s0, (m02 - m20) / s0,
+                    (m10 - m01) / s0])
+    s1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = jnp.stack([(m21 - m12) / s1, 0.25 * s1, (m01 + m10) / s1,
+                    (m02 + m20) / s1])
+    s2 = safe_sqrt(1.0 + m11 - m00 - m22) * 2.0
+    q2 = jnp.stack([(m02 - m20) / s2, (m01 + m10) / s2, 0.25 * s2,
+                    (m12 + m21) / s2])
+    s3 = safe_sqrt(1.0 + m22 - m00 - m11) * 2.0
+    q3 = jnp.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3,
+                    0.25 * s3])
+
+    c0 = tr > 0.0
+    c1 = (m00 >= m11) & (m00 >= m22)
+    c2 = m11 >= m22
+    q = jnp.where(
+        c0, q0, jnp.where(c1, q1, jnp.where(c2, q2, q3))
     )
-    scale = jnp.where(
-        theta > 1e-6, theta / (2.0 * jnp.sin(theta) + 1e-24), 0.5
-    )
-    return v * scale
+    q = q / jnp.linalg.norm(q)
+    q = q * jnp.sign(jnp.where(jnp.abs(q[0]) > 1e-12, q[0], 1.0))
+
+    vn = jnp.linalg.norm(q[1:])
+    theta = 2.0 * jnp.arctan2(vn, q[0])
+    axis = q[1:] / jnp.maximum(vn, 1e-24)
+    return jnp.where(vn > 1e-12, axis * theta, 2.0 * q[1:])
 
 
 def transform(cam: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -140,3 +140,48 @@ def test_ba_huber_rejects_outliers(ba_scene):
     assert err_huber < 0.05, err_huber
     # Free cameras stay near ground truth under the robust loss.
     assert np.abs(np.asarray(out_huber.cameras) - cams).max() < 0.05
+
+
+def test_pose_graph_closes_loop():
+    from siftmetal_tpu.slam.pose_graph import (
+        PoseGraph,
+        graph_cost,
+        optimize_pose_graph,
+    )
+    from siftmetal_tpu.slam.camera import relative
+
+    rng = np.random.default_rng(9)
+    n = 12
+    # Ground truth: poses around a circle.
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    gt = np.zeros((n, 6), dtype=np.float32)
+    gt[:, 2] = angles                      # yaw about z
+    gt[:, 3] = np.cos(angles) * 2.0
+    gt[:, 4] = np.sin(angles) * 2.0
+
+    # Odometry edges (i -> i+1) + loop closure (n-1 -> 0), exact
+    # measurements, noisy initial poses.
+    ei = np.arange(n, dtype=np.int32)
+    ej = np.roll(np.arange(n, dtype=np.int32), -1)
+    rel = np.stack(
+        [
+            np.asarray(relative(jnp.asarray(gt[i]), jnp.asarray(gt[j])))
+            for i, j in zip(ei, ej)
+        ]
+    ).astype(np.float32)
+
+    noisy = gt + rng.normal(0, 0.05, gt.shape).astype(np.float32)
+    noisy[0] = gt[0]
+    g = PoseGraph(
+        poses=jnp.asarray(noisy),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        rel_ij=jnp.asarray(rel),
+        weight=jnp.ones(n),
+        fixed=1,
+    )
+    c0 = float(graph_cost(g))
+    out, c1 = jax.jit(lambda x: optimize_pose_graph(x, n_iterations=30))(g)
+    assert float(c1) < 1e-6 * c0, (c0, float(c1))
+    # With edges exact and pose 0 fixed, ground truth is recovered.
+    assert np.abs(np.asarray(out.poses) - gt).max() < 1e-2
