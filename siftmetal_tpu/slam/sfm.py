@@ -1,0 +1,307 @@
+"""Incremental structure-from-motion driver.
+
+Ties the whole framework together (SURVEY.md §7 step 6): two-view
+bootstrap (essential RANSAC + pose recovery + triangulation), keyframe
+registration by PnP RANSAC against map landmarks, landmark growth by
+triangulation against the previous keyframe, periodic Schur BA.
+
+Design: the map is a padded SoA pytree with static budgets (cameras,
+landmarks, observations) and host-side fill counters — the same
+fixed-capacity-with-masks idiom as the extraction pipeline. Heavy steps
+(matching, RANSAC, triangulation, BA) are jitted; the per-frame Python
+orchestration only moves scalars and slices.
+
+Frames enter as (xy [N,2] row/col pixels, descriptors [N,128] uint8,
+valid [N]) — i.e. exactly what sift.extract produces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.ransac import find_fundamental
+from ..geometry.twoview import (
+    essential_from_fundamental,
+    recover_pose,
+    triangulate,
+)
+from ..match.matcher import match_bruteforce
+from .ba import BAProblem, bundle_adjust
+from .camera import project, rodrigues
+from .pnp import pnp_ransac
+
+
+@dataclasses.dataclass(frozen=True)
+class SfmConfig:
+    max_cameras: int = 32
+    max_landmarks: int = 4096
+    max_observations: int = 16384
+    new_landmarks_per_frame: int = 1024
+    match_absolute_threshold: float = 1.176
+    match_ratio_threshold: float = 0.7
+    ransac_hypotheses: int = 512
+    pnp_inlier_threshold: float = 4.0
+    triangulation_min_depth: float = 1e-3
+    ba_iterations: int = 6
+    ba_huber_delta: float = 3.0
+
+
+class SfmMap:
+    """Host-side map container over padded device arrays."""
+
+    def __init__(self, k: np.ndarray, config: SfmConfig):
+        c = config
+        self.config = c
+        self.k = jnp.asarray(k, dtype=jnp.float32)
+        self.cameras = np.zeros((c.max_cameras, 6), dtype=np.float32)
+        self.n_cameras = 0
+        self.landmarks = np.zeros((c.max_landmarks, 3), dtype=np.float32)
+        self.lm_desc = np.zeros((c.max_landmarks, 128), dtype=np.uint8)
+        self.n_landmarks = 0
+        self.obs_cam = np.zeros(c.max_observations, dtype=np.int32)
+        self.obs_lm = np.zeros(c.max_observations, dtype=np.int32)
+        self.obs_uv = np.zeros((c.max_observations, 2), dtype=np.float32)
+        self.n_obs = 0
+        self.frames = []  # (xy, desc, valid) per registered keyframe
+
+    # -- helpers ---------------------------------------------------------
+    def _add_observations(self, cam_idx, lm_idx, uv):
+        n = len(lm_idx)
+        if n == 0:
+            return
+        end = self.n_obs + n
+        assert end <= self.config.max_observations, "observation overflow"
+        self.obs_cam[self.n_obs:end] = cam_idx
+        self.obs_lm[self.n_obs:end] = lm_idx
+        self.obs_uv[self.n_obs:end] = uv
+        self.n_obs = end
+
+    def _add_landmarks(self, pts3, desc):
+        n = len(pts3)
+        end = self.n_landmarks + n
+        assert end <= self.config.max_landmarks, "landmark overflow"
+        idx = np.arange(self.n_landmarks, end, dtype=np.int32)
+        self.landmarks[self.n_landmarks:end] = pts3
+        self.lm_desc[self.n_landmarks:end] = desc
+        self.n_landmarks = end
+        return idx
+
+    # -- pipeline --------------------------------------------------------
+    def initialize(self, frame0, frame1, key=None) -> int:
+        """Two-view bootstrap. frames are (xy, desc, valid). Returns the
+        number of triangulated landmarks."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        c = self.config
+        xy0, d0, v0 = frame0
+        xy1, d1, v1 = frame1
+        m = match_bruteforce(
+            d0, d1, v0, v1,
+            absolute_threshold=c.match_absolute_threshold,
+            ratio_threshold=c.match_ratio_threshold,
+        )
+        mv = np.asarray(m.valid)
+        src = np.asarray(xy0)
+        dst = np.asarray(xy1)[np.asarray(m.target_idx)]
+        # geometry uses (u=col, v=row)
+        src_uv = src[:, ::-1].copy()
+        dst_uv = dst[:, ::-1].copy()
+
+        res = find_fundamental(
+            key, jnp.asarray(src_uv), jnp.asarray(dst_uv),
+            jnp.asarray(mv), n_hypotheses=c.ransac_hypotheses,
+        )
+        inl = np.asarray(res.inliers)
+        e = essential_from_fundamental(res.model, self.k, self.k)
+        kinv = np.linalg.inv(np.asarray(self.k))
+        n0 = (np.c_[src_uv, np.ones(len(src_uv))] @ kinv.T)[:, :2]
+        n1 = (np.c_[dst_uv, np.ones(len(dst_uv))] @ kinv.T)[:, :2]
+        r, t, _ = recover_pose(
+            e, jnp.asarray(n0.astype(np.float32)),
+            jnp.asarray(n1.astype(np.float32)), jnp.asarray(inl * 1.0)
+        )
+
+        from .camera import so3_log
+
+        cam0 = np.zeros(6, dtype=np.float32)
+        cam1 = np.concatenate(
+            [np.asarray(so3_log(r)), np.asarray(t)]
+        ).astype(np.float32)
+        self.cameras[0] = cam0
+        self.cameras[1] = cam1
+        self.n_cameras = 2
+
+        kmat = np.asarray(self.k)
+        p0 = kmat @ np.c_[np.eye(3), np.zeros(3)]
+        p1 = kmat @ np.c_[np.asarray(r), np.asarray(t)]
+        pts3 = np.asarray(
+            triangulate(
+                jnp.asarray(p0.astype(np.float32)),
+                jnp.asarray(p1.astype(np.float32)),
+                jnp.asarray(src_uv), jnp.asarray(dst_uv),
+            )
+        )
+        z0 = pts3[:, 2]
+        z1 = (pts3 @ np.asarray(r).T + np.asarray(t))[:, 2]
+        good = inl & (z0 > c.triangulation_min_depth) & (
+            z1 > c.triangulation_min_depth
+        )
+        sel = np.nonzero(good)[0][: c.new_landmarks_per_frame]
+        lm_idx = self._add_landmarks(
+            pts3[sel], np.asarray(d0)[sel]
+        )
+        self._add_observations(
+            np.zeros(len(sel), np.int32), lm_idx, src_uv[sel]
+        )
+        tgt = np.asarray(m.target_idx)[sel]
+        self._add_observations(
+            np.ones(len(sel), np.int32), lm_idx, dst_uv[sel]
+        )
+        self.frames = [frame0, frame1]
+        self._frame_lm = {0: (sel, lm_idx), 1: (tgt, lm_idx)}
+        return len(sel)
+
+    def add_frame(self, frame, key=None) -> Tuple[int, int]:
+        """Register a new keyframe: PnP against the map + triangulate new
+        landmarks vs the previous keyframe. Returns (n_inliers, n_new)."""
+        key = key if key is not None else jax.random.PRNGKey(self.n_cameras)
+        c = self.config
+        xy, desc, valid = frame
+        cam_id = self.n_cameras
+        assert cam_id < c.max_cameras, "camera overflow"
+
+        # 2D-3D matches: frame descriptors vs landmark descriptors.
+        lm_valid = np.zeros(c.max_landmarks, dtype=bool)
+        lm_valid[: self.n_landmarks] = True
+        m = match_bruteforce(
+            desc, jnp.asarray(self.lm_desc), valid, jnp.asarray(lm_valid),
+            absolute_threshold=c.match_absolute_threshold,
+            ratio_threshold=c.match_ratio_threshold,
+        )
+        mv = np.asarray(m.valid)
+        lm_ids = np.asarray(m.target_idx)
+        uv = np.asarray(xy)[:, ::-1].copy()          # (col, row)
+        pts3 = self.landmarks[np.maximum(lm_ids, 0)]
+
+        res = pnp_ransac(
+            key, jnp.asarray(pts3), jnp.asarray(uv), jnp.asarray(mv),
+            self.k, n_hypotheses=c.ransac_hypotheses,
+            inlier_threshold=c.pnp_inlier_threshold,
+        )
+        inl = np.asarray(res.inliers)
+        n_in = int(res.n_inliers)
+        self.cameras[cam_id] = np.asarray(res.model)
+        self.n_cameras += 1
+
+        sel = np.nonzero(inl)[0]
+        self._add_observations(
+            np.full(len(sel), cam_id, np.int32), lm_ids[sel], uv[sel]
+        )
+
+        # Grow the map: match against previous keyframe, triangulate pairs
+        # that are NOT yet landmarks.
+        prev_id = cam_id - 1
+        pxy, pdesc, pvalid = self.frames[-1]
+        m2 = match_bruteforce(
+            desc, pdesc, valid, pvalid,
+            absolute_threshold=c.match_absolute_threshold,
+            ratio_threshold=c.match_ratio_threshold,
+        )
+        m2v = np.asarray(m2.valid) & ~inl  # new points only
+        prev_uv = np.asarray(pxy)[np.asarray(m2.target_idx)][:, ::-1]
+
+        kmat = np.asarray(self.k)
+        cam_new = np.asarray(res.model)
+        cam_prev = self.cameras[prev_id]
+        p_new = kmat @ np.c_[
+            np.asarray(rodrigues(jnp.asarray(cam_new[:3]))), cam_new[3:]
+        ]
+        p_prev = kmat @ np.c_[
+            np.asarray(rodrigues(jnp.asarray(cam_prev[:3]))), cam_prev[3:]
+        ]
+        pts3n = np.asarray(
+            triangulate(
+                jnp.asarray(p_prev.astype(np.float32)),
+                jnp.asarray(p_new.astype(np.float32)),
+                jnp.asarray(prev_uv.astype(np.float32)),
+                jnp.asarray(uv.astype(np.float32)),
+            )
+        )
+
+        def depth(cam, pts):
+            r = np.asarray(rodrigues(jnp.asarray(cam[:3])))
+            return (pts @ r.T + cam[3:])[:, 2]
+
+        reproj = np.asarray(
+            jax.vmap(lambda p: project(jnp.asarray(cam_new), self.k, p))(
+                jnp.asarray(pts3n)
+            )
+        )
+        err = np.linalg.norm(reproj - uv, axis=1)
+        good = (
+            m2v
+            & (depth(cam_new, pts3n) > c.triangulation_min_depth)
+            & (depth(cam_prev, pts3n) > c.triangulation_min_depth)
+            & (err < c.pnp_inlier_threshold)
+        )
+        seln = np.nonzero(good)[0][: c.new_landmarks_per_frame]
+        budget = self.config.max_landmarks - self.n_landmarks
+        seln = seln[:budget]
+        lm_idx = self._add_landmarks(pts3n[seln], np.asarray(desc)[seln])
+        self._add_observations(
+            np.full(len(seln), prev_id, np.int32), lm_idx, prev_uv[seln]
+        )
+        self._add_observations(
+            np.full(len(seln), cam_id, np.int32), lm_idx, uv[seln]
+        )
+        self.frames.append(frame)
+        return n_in, len(seln)
+
+    def bundle_adjust(self, fixed_cameras: int = 1):
+        """Global BA over the current map (jit-compiled per (C,L,O) fill
+        sizes rounded up to static budgets)."""
+        c = self.config
+        valid = np.zeros(c.max_observations, dtype=bool)
+        valid[: self.n_obs] = True
+        problem = BAProblem(
+            cameras=jnp.asarray(self.cameras),
+            landmarks=jnp.asarray(self.landmarks),
+            k=self.k,
+            cam_idx=jnp.asarray(self.obs_cam),
+            lm_idx=jnp.asarray(self.obs_lm),
+            uv=jnp.asarray(self.obs_uv),
+            valid=jnp.asarray(valid),
+            fixed_cameras=fixed_cameras,
+        )
+        out, stats = jax.jit(
+            lambda p: bundle_adjust(
+                p,
+                n_iterations=c.ba_iterations,
+                huber_delta=c.ba_huber_delta,
+            )
+        )(problem)
+        self.cameras = np.asarray(out.cameras)
+        self.landmarks = np.asarray(out.landmarks)
+        return stats
+
+    def reprojection_rms(self) -> float:
+        from .ba import BAProblem as _P, residuals
+
+        valid = np.zeros(self.config.max_observations, dtype=bool)
+        valid[: self.n_obs] = True
+        p = _P(
+            cameras=jnp.asarray(self.cameras),
+            landmarks=jnp.asarray(self.landmarks),
+            k=self.k,
+            cam_idx=jnp.asarray(self.obs_cam),
+            lm_idx=jnp.asarray(self.obs_lm),
+            uv=jnp.asarray(self.obs_uv),
+            valid=jnp.asarray(valid),
+        )
+        r = np.asarray(residuals(p))
+        return float(np.sqrt((r ** 2).sum() / max(self.n_obs, 1)))

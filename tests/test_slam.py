@@ -185,3 +185,30 @@ def test_pose_graph_closes_loop():
     assert float(c1) < 1e-6 * c0, (c0, float(c1))
     # With edges exact and pose 0 fixed, ground truth is recovered.
     assert np.abs(np.asarray(out.poses) - gt).max() < 1e-2
+
+
+def test_pnp_ransac_recovers_pose():
+    from siftmetal_tpu.slam.pnp import pnp_ransac
+
+    rng = np.random.default_rng(11)
+    n = 128
+    k = np.array([[450, 0, 320], [0, 450, 240], [0, 0, 1]], dtype=np.float32)
+    pts = rng.uniform([-2, -2, 5], [2, 2, 10], (n, 3)).astype(np.float32)
+    cam_true = np.array([0.1, -0.05, 0.2, 0.3, -0.1, 0.4], dtype=np.float32)
+    uv = np.asarray(
+        jax.vmap(lambda p: project(jnp.asarray(cam_true), jnp.asarray(k), p))(
+            jnp.asarray(pts)
+        )
+    )
+    uv_bad = uv.copy()
+    uv_bad[:30] += rng.uniform(40, 120, (30, 2)).astype(np.float32)  # outliers
+    res = jax.jit(
+        lambda key, p, o, v: pnp_ransac(key, p, o, v, jnp.asarray(k))
+    )(jax.random.PRNGKey(2), jnp.asarray(pts), jnp.asarray(uv_bad),
+      jnp.ones(n, dtype=bool))
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[30:].mean() > 0.97, inl[30:].mean()
+    assert inl[:30].mean() < 0.05
+    cam = np.asarray(res.model)
+    assert np.abs(cam - cam_true).max() < 5e-3, cam - cam_true
