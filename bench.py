@@ -3,6 +3,13 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 2000 frames/s/chip (BASELINE.md, driver-provided north
 star; the reference publishes no numbers — SURVEY.md §6).
+
+Methodology: N pipeline iterations run inside ONE jitted lax.fori_loop
+whose carry threads a data dependency (frames perturbed by the previous
+iteration's keypoint count), so neither XLA nor an async dispatch tunnel
+can overlap/elide iterations; a single host fetch closes the timing. This
+matters: naive per-call timing with ``block_until_ready`` measured 10-600x
+too fast through the remote-TPU tunnel used in CI.
 """
 
 import json
@@ -15,31 +22,45 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from siftmetal_tpu.config import SiftConfig
     from siftmetal_tpu.sift.extract import extract_gray
 
     config = SiftConfig()
     h, w = 480, 640
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     n_oct = config.num_octaves(h, w)
 
-    fn = jax.jit(jax.vmap(lambda g: extract_gray(g, config, n_oct)))
+    extract = jax.vmap(lambda g: extract_gray(g, config, n_oct))
+
+    @jax.jit
+    def bench_n(frames):
+        def body(_, carry):
+            frames, acc = carry
+            _, descs, counters = extract(frames)
+            acc = acc + jnp.sum(counters["n_descriptors"])
+            # Thread a real data dependency between iterations (the 1e-12
+            # nudge is numerically invisible but forces sequencing).
+            frames = frames + 1e-12 * acc.astype(jnp.float32)
+            return frames, acc
+        frames, acc = lax.fori_loop(
+            0, iters, body, (frames, jnp.int32(0))
+        )
+        return acc
+
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.uniform(0.0, 1.0, (batch, h, w)).astype(np.float32)
     )
 
-    # Warmup / compile.
-    out = fn(frames)
-    jax.block_until_ready(out)
+    _ = int(np.asarray(bench_n(frames)))  # warmup / compile
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(frames)
-    jax.block_until_ready(out)
+    total = int(np.asarray(bench_n(frames)))
     dt = time.perf_counter() - t0
+    assert total > 0
 
     fps = batch * iters / dt
     print(

@@ -34,30 +34,34 @@ def gaussian_taps(sigma: float) -> np.ndarray:
 
 
 def _conv1d_sym(image: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
-    """1-D convolution along ``axis`` (-1 or -2) with symmetric padding."""
+    """1-D convolution along ``axis`` (-1 or -2) with symmetric padding.
+
+    Implemented as an unrolled shift-and-add (pad + sum of tap-weighted
+    static slices) rather than ``lax.conv_general_dilated``:
+
+      * exact fp32 VPU math — the TPU conv op in fp32/HIGHEST costs ~50 ms
+        for one 960x1280 blur (measured, v5e) vs ~1 ms for shift-add, and
+        its default-precision path computes in bf16, which empirically
+        inflates fine-scale DoG extrema 2.5x vs the IPOL fixtures;
+      * XLA fuses the whole tap sum into one pass over memory;
+      * batches/vmaps/shards over any leading axes with no special cases
+        (the Pallas variant in ops/pallas/blur.py is equivalent and tiled
+        explicitly; it benches the same 1 ms — kept for the single-image
+        fast path and as the kernel-authoring reference).
+    """
     radius = len(taps) // 2
     pad = [(0, 0)] * image.ndim
     pad[axis] = (radius, radius)
     x = jnp.pad(image, pad, mode="symmetric")
 
-    lead = x.shape[:-2]
-    h, w = x.shape[-2], x.shape[-1]
-    x4 = x.reshape((-1, 1, h, w))  # NCHW
-    if axis == -1 or axis == image.ndim - 1:
-        kernel = jnp.asarray(taps, dtype=image.dtype).reshape(1, 1, 1, -1)
-    else:
-        kernel = jnp.asarray(taps, dtype=image.dtype).reshape(1, 1, -1, 1)
-    y = jax.lax.conv_general_dilated(
-        x4, kernel, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=image.dtype,
-        # True fp32 accumulation. The TPU default would multiply in
-        # bf16-ish precision, which empirically inflates fine-scale DoG
-        # extrema 2.5x vs the IPOL fixtures (CPU/HIGHEST reproduces the
-        # extra_NES fixture exactly: 3073 vs 3068).
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y.reshape(lead + y.shape[-2:])
+    n = image.shape[axis]
+    acc = None
+    for k in range(2 * radius + 1):
+        sl = [slice(None)] * image.ndim
+        sl[axis] = slice(k, k + n)
+        term = float(taps[k]) * x[tuple(sl)]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
