@@ -14,11 +14,12 @@ static-shape design:
     validity mask (the honest version of the reference's fixed 4096-entry
     buffers with silent-overflow risk, SIFTOctave.swift:22-26 — here overflow
     is *reported*);
-  * a vmapped, fixed-iteration (masked-update) Newton refinement following
-    the IPOL algorithm the golden fixtures were generated with: the scale
-    index stays fixed during the walk and moves are clamped to the interior,
-    unlike the reference Metal kernel which also walks the scale axis
-    (SIFTInterpolate.metal:258-263) — fixture parity requires IPOL semantics.
+  * fixed-iteration (masked-update) Newton refinement following the IPOL
+    algorithm the golden fixtures were generated with (clamped +-1 walks
+    along rows/cols/scale), computed from DENSE per-pixel Taylor fields:
+    every interior sample's offset/value is a stencil pass, and each
+    refinement iteration is one batched [K, 4] gather — per-candidate
+    3x3x3 dynamic slices cost ~140 ms/frame in tiny DMAs on TPU.
 
 Everything here is pure and jittable; stage-by-stage acceptance flags are
 kept so tests can validate each IPOL pipeline stage (extra_NES /
@@ -171,32 +172,36 @@ def extrema_mask(dog: jnp.ndarray) -> jnp.ndarray:
     return (center > hi) | (center < lo)
 
 
-def _taylor_step(cube: jnp.ndarray):
-    """One 3-D quadratic (Taylor) refinement step on a [3,3,3] DoG cube.
+def _neighborhood(dog: jnp.ndarray, ds: int, di: int, dj: int) -> jnp.ndarray:
+    """Shifted interior view: value of dog[s+ds, i+di, j+dj] for all
+    interior (s, i, j), shape [S-2, H-2, W-2]."""
+    s, h, w = dog.shape
+    return dog[1 + ds:s - 1 + ds, 1 + di:h - 1 + di, 1 + dj:w - 1 + dj]
 
-    Axes of ``cube`` are (scale, row, col). Returns (ofst_i, ofst_j, ofst_s,
-    value): the offset that extremizes the local quadratic model,
-    alpha = -H^{-1} g, and the interpolated response
-    c + 0.5 * g . alpha (IPOL's full dot product — the reference Metal kernel
-    keeps only the first term, SIFTInterpolate.metal:96-100, a bug we do not
-    reproduce because the fixtures are IPOL-generated).
+
+def dense_taylor_fields(dog: jnp.ndarray) -> jnp.ndarray:
+    """Taylor-step fields for EVERY interior sample: [S-2, H-2, W-2, 4] =
+    (ofst_i, ofst_j, ofst_s, interpolated value).
+
+    The per-candidate formulation (a vmapped 3x3x3 dynamic_slice per lane
+    per iteration) costs ~140 ms/frame on TPU — tens of thousands of tiny
+    DMAs; computing the same quantities densely is a handful of 27-point
+    stencil passes (~ms, it reads the same data the extrema mask already
+    touches), after which each refinement iteration is ONE batched gather.
     """
-    c = cube[1, 1, 1]
-    gi = 0.5 * (cube[1, 2, 1] - cube[1, 0, 1])
-    gj = 0.5 * (cube[1, 1, 2] - cube[1, 1, 0])
-    gs = 0.5 * (cube[2, 1, 1] - cube[0, 1, 1])
+    nb = partial(_neighborhood, dog)
+    c = nb(0, 0, 0)
+    gi = 0.5 * (nb(0, 1, 0) - nb(0, -1, 0))
+    gj = 0.5 * (nb(0, 0, 1) - nb(0, 0, -1))
+    gs = 0.5 * (nb(1, 0, 0) - nb(-1, 0, 0))
 
-    hii = cube[1, 2, 1] + cube[1, 0, 1] - 2.0 * c
-    hjj = cube[1, 1, 2] + cube[1, 1, 0] - 2.0 * c
-    hss = cube[2, 1, 1] + cube[0, 1, 1] - 2.0 * c
-    hij = 0.25 * (cube[1, 2, 2] - cube[1, 2, 0] - cube[1, 0, 2] + cube[1, 0, 0])
-    his = 0.25 * (cube[2, 2, 1] - cube[2, 0, 1] - cube[0, 2, 1] + cube[0, 0, 1])
-    hjs = 0.25 * (cube[2, 1, 2] - cube[2, 1, 0] - cube[0, 1, 2] + cube[0, 1, 0])
+    hii = nb(0, 1, 0) + nb(0, -1, 0) - 2.0 * c
+    hjj = nb(0, 0, 1) + nb(0, 0, -1) - 2.0 * c
+    hss = nb(1, 0, 0) + nb(-1, 0, 0) - 2.0 * c
+    hij = 0.25 * (nb(0, 1, 1) - nb(0, 1, -1) - nb(0, -1, 1) + nb(0, -1, -1))
+    his = 0.25 * (nb(1, 1, 0) - nb(1, -1, 0) - nb(-1, 1, 0) + nb(-1, -1, 0))
+    hjs = 0.25 * (nb(1, 0, 1) - nb(1, 0, -1) - nb(-1, 0, 1) + nb(-1, 0, -1))
 
-    # Analytic 3x3 inverse via the adjugate (the TPU version of
-    # Common.hpp:34-47); a singular Hessian yields non-finite offsets which
-    # fail the convergence test, matching IPOL's behavior of never accepting
-    # such candidates.
     det = (
         hii * (hjj * hss - hjs * hjs)
         - hij * (hij * hss - hjs * his)
@@ -213,39 +218,48 @@ def _taylor_step(cube: jnp.ndarray):
     ofst_j = -(ab * gi + bb * gj + bc * gs)
     ofst_s = -(ac * gi + bc * gj + cc * gs)
     value = c + 0.5 * (gi * ofst_i + gj * ofst_j + gs * ofst_s)
-    return ofst_i, ofst_j, ofst_s, value
+    return jnp.stack([ofst_i, ofst_j, ofst_s, value], axis=-1)
 
 
-def _refine_one(
-    dog: jnp.ndarray,
+def dense_edge_ok(dog: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
+    """IPOL edge-response acceptance for every interior sample,
+    bool [S-2, H-2, W-2] (dense form of isOnEdge,
+    SIFTInterpolate.metal:17-61, with IPOL's |tr^2/det| <= (r+1)^2/r)."""
+    nb = partial(_neighborhood, dog)
+    c = nb(0, 0, 0)
+    hii = nb(0, 1, 0) + nb(0, -1, 0) - 2.0 * c
+    hjj = nb(0, 0, 1) + nb(0, 0, -1) - 2.0 * c
+    hij = 0.25 * ((nb(0, 1, 1) - nb(0, 1, -1)) - (nb(0, -1, 1) - nb(0, -1, -1)))
+    edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
+    r = edge_threshold
+    return jnp.abs(edge_resp) <= (r + 1.0) ** 2 / r
+
+
+def _refine_batched(
+    fields: jnp.ndarray,
     s0: jnp.ndarray,
     i0: jnp.ndarray,
     j0: jnp.ndarray,
+    h: int,
+    w: int,
     *,
     max_iterations: int,
     max_offset: float,
 ):
-    """IPOL keypoint interpolation for one candidate (vmapped by caller).
+    """IPOL refinement walk for all candidates at once.
 
-    Fixed ``max_iterations`` Taylor steps with masked updates (the TPU form
-    of the early-exit walk at SIFTInterpolate.metal:231-270). The +-1 moves
-    along rows/cols/scale are clamped to the interior ([1, dim-2] spatially,
-    [1, n_interior_scales] along scale) exactly like IPOL — validated
-    empirically against the extra_ExtrInterp fixture (1942 converged vs
-    IPOL's 1934, the +8 tracing back to borderline extra NES candidates).
-    """
-    h, w = dog.shape[1], dog.shape[2]
-    s_max = dog.shape[0] - 2  # interior DoG slices are 1..n_scales
+    One [K, 4] gather from the dense Taylor fields per iteration; moves
+    clamped to the interior exactly like the per-candidate version."""
+    s_max = fields.shape[0]  # interior scales
     mo = jnp.float32(max_offset)
+    k = s0.shape[0]
+    zeros = jnp.zeros((k,), dtype=jnp.float32)
+    falses = jnp.zeros((k,), dtype=bool)
 
     def body(_, carry):
         s, i, j, conv, done, oi, oj, os_, val = carry
-        cube = lax.dynamic_slice(
-            dog,
-            (s - 1, i - 1, j - 1),
-            (3, 3, 3),
-        )
-        noi, noj, nos, nval = _taylor_step(cube)
+        f = fields[s - 1, i - 1, j - 1]          # [K, 4] batched gather
+        noi, noj, nos, nval = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
         nconv = (
             (jnp.abs(noi) < mo) & (jnp.abs(noj) < mo) & (jnp.abs(nos) < mo)
         )
@@ -270,35 +284,11 @@ def _refine_one(
         s = jnp.where(move, s + ds, s)
         return s, i, j, conv, done | nconv, oi, oj, os_, val
 
-    init = (
-        s0,
-        i0,
-        j0,
-        jnp.bool_(False),
-        jnp.bool_(False),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
-    )
+    init = (s0, i0, j0, falses, falses, zeros, zeros, zeros, zeros)
     s, i, j, conv, _, oi, oj, os_, val = lax.fori_loop(
         0, max_iterations, body, init
     )
     return s, i, j, conv, oi, oj, os_, val
-
-
-def _edge_ok(dog: jnp.ndarray, s, i, j, edge_threshold: float):
-    """IPOL edge-response test on the 2-D Hessian at the final discrete
-    position (the TPU version of isOnEdge, SIFTInterpolate.metal:17-61,
-    but with IPOL's signed-ratio acceptance |tr^2/det| <= (r+1)^2/r)."""
-    patch = lax.dynamic_slice(dog, (s, i - 1, j - 1), (1, 3, 3))[0]
-    c = patch[1, 1]
-    hii = patch[2, 1] + patch[0, 1] - 2.0 * c
-    hjj = patch[1, 2] + patch[1, 0] - 2.0 * c
-    hij = 0.25 * ((patch[2, 2] - patch[2, 0]) - (patch[0, 2] - patch[0, 0]))
-    edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
-    r = edge_threshold
-    return jnp.abs(edge_resp) <= (r + 1.0) ** 2 / r
 
 
 def detect_octave(
@@ -334,20 +324,21 @@ def detect_octave(
     i_idx = (rem // ww + 1).astype(jnp.int32)
     j_idx = (rem % ww + 1).astype(jnp.int32)
 
-    refine = jax.vmap(
-        partial(
-            _refine_one,
-            dog,
-            max_iterations=config.max_interpolation_iterations,
-            max_offset=config.max_interpolation_offset,
-        )
+    fields = dense_taylor_fields(dog)
+    s_f, i_f, j_f, conv, oi, oj, os_, val = _refine_batched(
+        fields,
+        s_idx,
+        i_idx,
+        j_idx,
+        h,
+        w,
+        max_iterations=config.max_interpolation_iterations,
+        max_offset=config.max_interpolation_offset,
     )
-    s_f, i_f, j_f, conv, oi, oj, os_, val = refine(s_idx, i_idx, j_idx)
 
     pass_hard = conv & (jnp.abs(val) > config.dog_threshold)
-    edge_ok = jax.vmap(
-        partial(_edge_ok, dog, edge_threshold=config.edge_threshold)
-    )(s_f, i_f, j_f)
+    edge_field = dense_edge_ok(dog, config.edge_threshold)
+    edge_ok = edge_field[s_f - 1, i_f - 1, j_f - 1]
     pass_edge = pass_hard & edge_ok
 
     x = (i_f.astype(jnp.float32) + oi) * delta
