@@ -61,25 +61,45 @@ def extract_gray(
     per_octave, counters = _detect.detect(dogs, config)
 
     kp_list, desc_rows = [], []
+    lane_overflow = jnp.int32(0)
     for o in range(n_octaves):
         h, w = dogs[o].shape[1], dogs[o].shape[2]
         budget = _detect.keypoint_budget(config, (h, w))
         kpc = _detect.compact_octave_keypoints(per_octave[o], o, config, budget)
         ori = _describe.orientations_octave(gaussians[o], kpc, config)
-        feats = _describe.descriptors_octave(gaussians[o], kpc, ori, config)
 
-        k, m = feats.shape[0], feats.shape[1]
+        # Compact (keypoint, orientation) lanes BEFORE the descriptor stage:
+        # most of the [K, MAX_ORI] grid is invalid (typical orientation
+        # multiplicity is ~1.2), so computing descriptors on compacted lanes
+        # cuts the heaviest stage's work ~2.5x. Budget: 1.5 lanes/keypoint
+        # slot, overflow reported in the counters.
+        m = ori.theta.shape[1]
         lane_valid = (ori.valid & kpc.valid[:, None]).reshape(-1)
-        rep = lambda a: jnp.repeat(a, m)
+        count = jnp.sum(lane_valid.astype(jnp.int32))
+        n_lanes = (budget * 3 // 2 + 127) // 128 * 128
+        order = jnp.nonzero(lane_valid, size=n_lanes, fill_value=0)[0]
+        slot_valid = jnp.arange(n_lanes) < count
+        lane_overflow = lane_overflow + jnp.maximum(count - n_lanes, 0)
+
+        rep = lambda a: jnp.repeat(a, m)[order]
+        feats = _describe.descriptor_lanes(
+            gaussians[o],
+            rep(kpc.scale),
+            rep(kpc.x_oct),
+            rep(kpc.y_oct),
+            rep(kpc.sigma_oct),
+            ori.theta.reshape(-1)[order],
+            config,
+        )
         desc_rows.append(
             dict(
-                valid=lane_valid,
-                octave=jnp.full((k * m,), o, dtype=jnp.int32),
+                valid=slot_valid,
+                octave=jnp.full((n_lanes,), o, dtype=jnp.int32),
                 x=rep(kpc.x),
                 y=rep(kpc.y),
                 sigma=rep(kpc.sigma),
-                theta=ori.theta.reshape(-1),
-                features=feats.reshape(k * m, -1),
+                theta=ori.theta.reshape(-1)[order],
+                features=feats,
             )
         )
         kp_list.append(per_octave[o])
@@ -104,7 +124,7 @@ def extract_gray(
         features=take("features"),
     )
     counters["n_descriptors"] = count
-    counters["descriptor_overflow"] = jnp.maximum(count - n, 0)
+    counters["descriptor_overflow"] = jnp.maximum(count - n, 0) + lane_overflow
     return keypoints, descriptors, counters
 
 
