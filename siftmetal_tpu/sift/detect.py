@@ -96,8 +96,7 @@ def compact_octave_keypoints(
     """Gather surviving keypoints into ``budget`` padded slots on-device."""
     delta = config.octave_delta(octave)
     valid = kp.valid
-    count = jnp.sum(valid.astype(jnp.int32))
-    order = jnp.nonzero(valid, size=budget, fill_value=0)[0]
+    order, count, _ = compact_indices(valid, budget)
     out_valid = jnp.arange(budget) < count
     return CompactOctaveKeypoints(
         valid=out_valid,
@@ -146,6 +145,66 @@ def extrema_candidate_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
     k = max(256, (h * w) // 128)
     k = min(k, config.max_extrema_per_octave)
     return (k + 127) // 128 * 128
+
+
+def masked_nonzero(
+    mask: jnp.ndarray, size: int, block: int = 512, slots: int = 16
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Indices of True entries of a flat bool mask, padded to ``size``.
+
+    ``jnp.nonzero(size=...)`` lowers to a full sort on TPU — 44 ms for one
+    3.7M-element DoG mask (measured, v5e). This sort-free version runs
+    top_k within fixed blocks (at most ``slots`` hits per ``block``
+    elements — ~3% density vs ~0.1% real extrema density) and then
+    compacts the [n_blocks, slots] survivors, which is 32x smaller.
+
+    Returns (indices [size] int32, count, dropped) where ``dropped`` counts
+    true entries lost to block-slot or size overflow (reported, not
+    silent).
+    """
+    n = mask.shape[0]
+    nb = (n + block - 1) // block
+    m = jnp.pad(mask, (0, nb * block - n)).reshape(nb, block)
+    j = jax.lax.broadcasted_iota(jnp.int32, (nb, block), 1)
+    val = jnp.where(m, block - j, 0)
+    top, _ = lax.top_k(val, slots)           # [nb, slots], masked-first
+    slot_valid = top > 0
+    local = block - top
+    gpos = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb, slots), 0) * block + local
+    ).reshape(-1)
+    sv = slot_valid.reshape(-1)
+
+    total = jnp.sum(m.astype(jnp.int32))
+    kept = jnp.sum(sv.astype(jnp.int32))
+    order = jnp.nonzero(sv, size=size, fill_value=0)[0]
+    idx = jnp.where(jnp.arange(size) < kept, gpos[order], 0)
+    count = jnp.minimum(kept, size)
+    dropped = total - count
+    return idx.astype(jnp.int32), count, dropped
+
+
+def compact_indices(
+    valid: jnp.ndarray, size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Ascending indices of True entries of a bool mask, padded to ``size``.
+
+    Exact for ANY density (cumsum + drop-mode scatter) — use for slot-level
+    masks (keypoint/lane validity, up to 100% dense). For huge sparse pixel
+    masks prefer :func:`masked_nonzero` (a 3.7M-element scatter/sort is
+    slow on TPU; the blocked top_k is not). Returns (indices, count,
+    dropped).
+    """
+    n = valid.shape[0]
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    total = jnp.where(n > 0, pos[-1] + 1, 0)
+    tgt = jnp.where(valid & (pos < size), pos, size)
+    idx_src = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    out = jnp.zeros((size,), jnp.int32).at[tgt].set(
+        idx_src, mode="drop"
+    )
+    count = jnp.minimum(total, size)
+    return out, count, total - count
 
 
 def extrema_mask(dog: jnp.ndarray) -> jnp.ndarray:
@@ -316,8 +375,8 @@ def detect_octave(
     n_extrema = jnp.sum(mask.astype(jnp.int32))
     n_soft = jnp.sum(soft.astype(jnp.int32))
 
-    flat = jnp.nonzero(soft.reshape(-1), size=k, fill_value=0)[0]
-    cand_valid = jnp.arange(k) < n_soft
+    flat, n_cand, dropped = masked_nonzero(soft.reshape(-1), k)
+    cand_valid = jnp.arange(k) < n_cand
     hh, ww = h - 2, w - 2
     s_idx = (flat // (hh * ww) + 1).astype(jnp.int32)
     rem = flat % (hh * ww)
@@ -381,7 +440,7 @@ def detect_octave(
         "n_hard": jnp.sum(kp.pass_hard.astype(jnp.int32)),
         "n_edge": jnp.sum(kp.pass_edge.astype(jnp.int32)),
         "n_border": jnp.sum(kp.pass_border.astype(jnp.int32)),
-        "overflow": jnp.maximum(n_soft - k, 0),
+        "overflow": dropped,
     }
     return kp, counters
 
@@ -424,8 +483,7 @@ def gather_keypoints(
             for o, kp in enumerate(per_octave)
         ]
     )
-    count = jnp.sum(valid.astype(jnp.int32))
-    order = jnp.nonzero(valid, size=n, fill_value=0)[0]
+    order, count, _ = compact_indices(valid, n)
     out_valid = jnp.arange(n) < count
 
     def take(a):

@@ -75,11 +75,10 @@ def extract_gray(
         # slot, overflow reported in the counters.
         m = ori.theta.shape[1]
         lane_valid = (ori.valid & kpc.valid[:, None]).reshape(-1)
-        count = jnp.sum(lane_valid.astype(jnp.int32))
         n_lanes = (budget * 3 // 2 + 127) // 128 * 128
-        order = jnp.nonzero(lane_valid, size=n_lanes, fill_value=0)[0]
+        order, count, dropped = _detect.compact_indices(lane_valid, n_lanes)
         slot_valid = jnp.arange(n_lanes) < count
-        lane_overflow = lane_overflow + jnp.maximum(count - n_lanes, 0)
+        lane_overflow = lane_overflow + dropped
 
         rep = lambda a: jnp.repeat(a, m)[order]
         feats = _describe.descriptor_lanes(
@@ -108,8 +107,7 @@ def extract_gray(
 
     n = config.max_descriptors
     valid = jnp.concatenate([r["valid"] for r in desc_rows])
-    count = jnp.sum(valid.astype(jnp.int32))
-    order = jnp.nonzero(valid, size=n, fill_value=0)[0]
+    order, count, _ = _detect.compact_indices(valid, n)
 
     def take(field):
         return jnp.concatenate([r[field] for r in desc_rows])[order]
