@@ -33,7 +33,9 @@ def main() -> None:
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     n_oct = config.num_octaves(h, w)
 
-    extract = jax.vmap(lambda g: extract_gray(g, config, n_oct))
+    extract = lambda frames: jax.lax.map(
+        lambda g: extract_gray(g, config, n_oct), frames
+    )
 
     @jax.jit
     def bench_n(frames):

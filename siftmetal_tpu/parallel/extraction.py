@@ -49,7 +49,12 @@ def make_batch_extractor(
 
     @partial(jax.jit, in_shardings=(sharding,), out_shardings=sharding)
     def run(frames: jnp.ndarray):
-        return jax.vmap(lambda g: extract_gray(g, config, n_oct))(frames)
+        # lax.map (not vmap): same per-frame cost on TPU, and the Pallas
+        # patch kernels don't batch under vmap. Each device maps over its
+        # own shard of the frame axis.
+        return jax.lax.map(
+            lambda g: extract_gray(g, config, n_oct), frames
+        )
 
     return run
 

@@ -166,8 +166,12 @@ class SIFT:
         self._extract = jax.jit(
             lambda g: extract_gray(g, self.config, self.n_octaves)
         )
+        # lax.map rather than vmap: per-frame cost is identical on TPU
+        # (measured), and the Pallas patch kernels don't batch under vmap.
         self._extract_batch = jax.jit(
-            jax.vmap(lambda g: extract_gray(g, self.config, self.n_octaves))
+            lambda gs: jax.lax.map(
+                lambda g: extract_gray(g, self.config, self.n_octaves), gs
+            )
         )
 
     def extract(self, image):

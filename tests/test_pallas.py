@@ -28,3 +28,60 @@ def test_blur_stack_pallas():
     ref = np.asarray(blur(stack, 1.6))
     got = np.asarray(blur_stack_pallas(stack, 1.6, interpret=True))
     assert np.abs(ref - got).max() < 1e-6
+
+
+def test_patch_kernels_match_xla_describe():
+    """Orientation/descriptor Pallas kernels (interpret mode) vs the XLA
+    chunked-vmap reference path on a synthetic octave."""
+    import jax
+    from functools import partial
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.patches import (
+        descriptor_lanes_pallas,
+        orientation_hist_lanes_pallas,
+    )
+    from siftmetal_tpu.sift import describe as DS
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(0)
+    s = cfg.n_gaussians_per_octave
+    h, w = 96, 160
+    gauss = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
+
+    L = 8
+    scale = jnp.asarray(rng.integers(1, cfg.n_scales_per_octave + 1, L).astype(np.int32))
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
+    sig = jnp.asarray(rng.uniform(1.7, 3.6, L).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, L).astype(np.float32))
+
+    # XLA reference: raw orientation histograms.
+    r = cfg.ori_patch_radius
+    gi, gj = DS.gradients(gauss[1:cfg.n_scales_per_octave + 1])
+    hist_ref = jax.vmap(
+        partial(
+            DS._orientation_hist_one,
+            DS._pad_spatial(gi, r),
+            DS._pad_spatial(gj, r),
+            radius=r,
+            n_bins=cfg.n_orientation_bins,
+            lam=cfg.orientation_lambda,
+        )
+    )(scale, x_oct, y_oct, sig)
+    hist_pal = orientation_hist_lanes_pallas(
+        gauss, scale, x_oct, y_oct, sig, cfg, interpret=True
+    )
+    ref = np.asarray(hist_ref)
+    got = np.asarray(hist_pal)
+    denom = np.abs(ref).max(axis=1, keepdims=True) + 1e-9
+    assert (np.abs(ref - got) / denom).max() < 5e-3
+
+    # Descriptors: compare raw histograms via the quantized outputs.
+    d_ref = np.asarray(
+        DS.descriptor_lanes(gauss, scale, x_oct, y_oct, sig, theta, cfg)
+    ).astype(np.int32)
+    raw_pal = descriptor_lanes_pallas(
+        gauss, scale, x_oct, y_oct, sig, theta, cfg, interpret=True
+    )
+    d_pal = np.asarray(DS.quantize_descriptors(raw_pal, cfg)).astype(np.int32)
+    assert np.abs(d_ref - d_pal).max() <= 1
