@@ -92,11 +92,13 @@ def keypoint_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
 
 def compact_octave_keypoints(
     kp: OctaveKeypoints, octave: int, config: SiftConfig, budget: int
-) -> CompactOctaveKeypoints:
-    """Gather surviving keypoints into ``budget`` padded slots on-device."""
+) -> Tuple[CompactOctaveKeypoints, jnp.ndarray]:
+    """Gather surviving keypoints into ``budget`` padded slots on-device.
+    Returns (compacted, n_dropped) — slot overflow is reported, not
+    silent (the reference truncates silently, SIFTOctave.swift:22-26)."""
     delta = config.octave_delta(octave)
     valid = kp.valid
-    order, count, _ = compact_indices(valid, budget)
+    order, count, dropped = compact_indices(valid, budget)
     out_valid = jnp.arange(budget) < count
     return CompactOctaveKeypoints(
         valid=out_valid,
@@ -108,7 +110,7 @@ def compact_octave_keypoints(
         y=kp.y[order],
         sigma=kp.sigma[order],
         value=kp.value[order],
-    )
+    ), dropped
 
 
 class Keypoints(NamedTuple):

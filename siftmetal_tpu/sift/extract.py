@@ -65,7 +65,10 @@ def extract_gray(
     for o in range(n_octaves):
         h, w = dogs[o].shape[1], dogs[o].shape[2]
         budget = _detect.keypoint_budget(config, (h, w))
-        kpc = _detect.compact_octave_keypoints(per_octave[o], o, config, budget)
+        kpc, kp_dropped = _detect.compact_octave_keypoints(
+            per_octave[o], o, config, budget
+        )
+        lane_overflow = lane_overflow + kp_dropped
         ori = _describe.orientations_octave(gaussians[o], kpc, config)
 
         # Compact (keypoint, orientation) lanes BEFORE the descriptor stage:

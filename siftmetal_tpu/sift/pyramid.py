@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
@@ -61,6 +62,9 @@ def build_pyramid(
     h, w = gray.shape[-2], gray.shape[-1]
     shapes = config.octave_shapes(h, w, n_octaves)
 
+    use_cascade = (
+        config.use_pallas_pyramid and jax.default_backend() == "tpu"
+    )
     gaussians: List[jnp.ndarray] = []
     dogs: List[jnp.ndarray] = []
     first = seed_image(gray, config)
@@ -68,9 +72,18 @@ def build_pyramid(
         if o > 0:
             prev = gaussians[o - 1][config.n_scales_per_octave]
             first = decimate_2x(prev, shapes[o])
-        stack = build_gaussian_octave(first, o, config)
+        # The fused kernel wins on large octaves; small ones are dominated
+        # by fixed kernel overhead and stay on the XLA shift-add path
+        # (measured crossover ~256 rows on v5e).
+        if use_cascade and shapes[o][0] >= 256:
+            from ..ops.pallas.cascade import octave_cascade_pallas
+
+            stack, dog = octave_cascade_pallas(first, config)
+        else:
+            stack = build_gaussian_octave(first, o, config)
+            dog = stack[1:] - stack[:-1]
         gaussians.append(stack)
-        dogs.append(stack[1:] - stack[:-1])
+        dogs.append(dog)
     return gaussians, dogs
 
 

@@ -85,3 +85,22 @@ def test_patch_kernels_match_xla_describe():
     )
     d_pal = np.asarray(DS.quantize_descriptors(raw_pal, cfg)).astype(np.int32)
     assert np.abs(d_ref - d_pal).max() <= 1
+
+
+def test_octave_cascade_matches_sequential():
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.cascade import octave_cascade_pallas
+    from siftmetal_tpu.sift.pyramid import build_gaussian_octave
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(0)
+    g0 = jnp.asarray(rng.uniform(0, 1, (160, 222)).astype(np.float32))
+    ref_stack = np.asarray(build_gaussian_octave(g0, 0, cfg))
+    got_stack, got_dog = octave_cascade_pallas(g0, cfg, interpret=True)
+    got_stack = np.asarray(got_stack)
+    assert got_stack.shape == ref_stack.shape
+    err = np.abs(ref_stack - got_stack).max()
+    assert err < 1e-5, err
+    np.testing.assert_allclose(
+        np.asarray(got_dog), ref_stack[1:] - ref_stack[:-1], atol=2e-5
+    )
