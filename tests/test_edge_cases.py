@@ -1,0 +1,92 @@
+"""Degenerate inputs and failure-handling paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from siftmetal_tpu.config import SiftConfig
+from siftmetal_tpu.sift.detect import compact_indices, masked_nonzero
+from siftmetal_tpu.sift.extract import SIFT
+
+
+def test_flat_image_has_no_keypoints():
+    sift = SIFT(64, 96, SiftConfig(max_extrema_per_octave=512,
+                                   max_keypoints=256, max_descriptors=256))
+    kps, descs, counters = sift.extract(np.full((64, 96), 0.5, np.float32))
+    assert int(np.asarray(kps.valid).sum()) == 0
+    assert int(np.asarray(descs.valid).sum()) == 0
+    assert int(counters["n_extrema"]) == 0
+    assert int(counters["overflow"]) == 0
+
+
+def test_noise_image_runs_and_reports_overflow_honestly():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (64, 96)).astype(np.float32)
+    cfg = SiftConfig(max_extrema_per_octave=256, max_keypoints=128,
+                     max_descriptors=256)
+    sift = SIFT(64, 96, cfg)
+    kps, descs, counters = sift.extract(img)
+    # Pure noise produces many extrema; tight budgets must DROP and REPORT,
+    # never crash or silently corrupt.
+    assert int(counters["n_extrema"]) > 0
+    n_valid = int(np.asarray(descs.valid).sum())
+    assert 0 <= n_valid <= cfg.max_descriptors
+    assert int(counters["overflow"]) >= 0
+
+
+def test_compact_indices_dense_and_overflow():
+    valid = jnp.asarray(np.array([1, 1, 1, 1, 0, 1, 1, 1], dtype=bool))
+    idx, count, dropped = compact_indices(valid, 4)
+    assert int(count) == 4
+    assert int(dropped) == 3
+    np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
+
+    idx, count, dropped = compact_indices(jnp.zeros(8, bool), 4)
+    assert int(count) == 0 and int(dropped) == 0
+
+
+def test_masked_nonzero_matches_numpy():
+    rng = np.random.default_rng(1)
+    mask = rng.uniform(size=4096) < 0.01
+    idx, count, dropped = masked_nonzero(jnp.asarray(mask), 128)
+    ref = np.nonzero(mask)[0]
+    assert int(dropped) == 0
+    assert int(count) == len(ref)
+    np.testing.assert_array_equal(np.asarray(idx)[: len(ref)], ref)
+
+
+def test_elastic_loop_recovers_from_failures(tmp_path):
+    from siftmetal_tpu.parallel.multihost import run_elastic
+
+    saved = {}
+
+    def save(step, state):
+        saved["ckpt"] = (step, state)
+
+    def restore():
+        return saved.get("ckpt")
+
+    fail_at = {7}
+
+    def step_fn(step, state):
+        if step in fail_at:
+            fail_at.discard(step)  # transient failure
+            raise RuntimeError("simulated worker failure")
+        return state + 1
+
+    step, state = run_elastic(
+        step_fn, 0, n_steps=10, checkpoint_every=2,
+        save_fn=save, restore_fn=restore, backoff_s=0.0,
+    )
+    assert step == 10
+    # Recovered from the checkpoint at step 6 and recomputed the rest.
+    assert state == 10
+
+
+def test_barrier_single_host():
+    from siftmetal_tpu.parallel.multihost import barrier, initialize
+
+    assert initialize() == (0, 1)
+    barrier("test")  # 8-device CPU mesh psum must complete
