@@ -39,32 +39,26 @@ def symmetrize_index(i: jnp.ndarray, length: int) -> jnp.ndarray:
 def upsample_bilinear_2x(image: jnp.ndarray) -> jnp.ndarray:
     """IPOL-style 2x bilinear oversampling (BilinearUpScale.metal:12-64).
 
-    output[i, j] samples the input at (i/2, j/2) with symmetric extension at
-    the bottom/right border. Input [..., H, W] -> output [..., 2H, 2W].
+    output[i, j] samples the input at (i/2, j/2) with symmetric extension
+    at the bottom/right border. Input [..., H, W] -> output [..., 2H, 2W].
+
+    Gather-free: even outputs copy the input, odd outputs are neighbor
+    midpoints; interleaving via stack+reshape keeps this pure slicing
+    (index-array gathers are slow on TPU).
     """
-    h, w = image.shape[-2], image.shape[-1]
-    ho, wo = 2 * h, 2 * w
 
-    def axis_indices(n_out: int, n_in: int):
-        x = jnp.arange(n_out, dtype=jnp.float32) * (n_in / n_out)
-        lo = x.astype(jnp.int32)
-        hi = lo + 1
-        # image extension by symmetrization (only overflow is possible here)
-        lo = jnp.where(lo >= n_in, 2 * n_in - 1 - lo, lo)
-        hi = jnp.where(hi >= n_in, 2 * n_in - 1 - hi, hi)
-        frac = x - jnp.floor(x)
-        return lo, hi, frac
+    def interleave(a, b, axis):
+        stacked = jnp.stack([a, b], axis=a.ndim + axis + 1)
+        shape = list(a.shape)
+        shape[axis] = 2 * shape[axis]
+        return stacked.reshape(shape)
 
-    ilo, ihi, fi = axis_indices(ho, h)
-    jlo, jhi, fj = axis_indices(wo, w)
-
-    top = image[..., ilo, :]      # [..., 2H, W] rows at floor(i/2)
-    bot = image[..., ihi, :]      # rows at floor(i/2)+1
-    fi = fi[:, None]
-    rows = top * (1.0 - fi) + bot * fi          # interpolate along rows
-    left = rows[..., :, jlo]
-    right = rows[..., :, jhi]
-    return left * (1.0 - fj) + right * fj       # interpolate along cols
+    right = jnp.concatenate(
+        [image[..., :, 1:], image[..., :, -1:]], axis=-1
+    )
+    cols = interleave(image, 0.5 * (image + right), axis=-1)
+    down = jnp.concatenate([cols[..., 1:, :], cols[..., -1:, :]], axis=-2)
+    return interleave(cols, 0.5 * (cols + down), axis=-2)
 
 
 def decimate_2x(image: jnp.ndarray, out_shape: tuple[int, int]) -> jnp.ndarray:

@@ -83,10 +83,19 @@ class CompactOctaveKeypoints(NamedTuple):
     value: jnp.ndarray      # [K] f32
 
 
-def keypoint_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
-    """Static per-octave keypoint slots after refinement (~1/4 of the
-    extrema budget; overflow detected by callers via counts)."""
-    k = max(128, extrema_candidate_budget(config, shape) // 4)
+def keypoint_budget(
+    config: SiftConfig, shape: Tuple[int, int], octave: int = 0
+) -> int:
+    """Static per-octave keypoint slots after refinement.
+
+    Keypoint survivors per extrema slot RISE with octave index (extrema
+    budgets scale with area, keypoint counts shrink only ~2x per octave),
+    so the divisor relaxes with the octave: //4 at octave 0, //2 at 1,
+    //1 beyond. A flat //4 silently truncated coarse octaves (35 dropped
+    at octave 1 on the butterfly fixture); overflow is counted either way.
+    """
+    div = max(1, 4 >> octave)
+    k = max(256, extrema_candidate_budget(config, shape) // div)
     return min((k + 127) // 128 * 128, config.max_keypoints)
 
 
@@ -140,11 +149,13 @@ def extrema_candidate_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
     """Static per-octave candidate slot count, scaled with octave area.
 
     The reference uses a flat 4096 per octave (SIFTOctave.swift:22); we scale
-    with area (1 slot / 128 px is ~5x headroom over natural extrema density)
-    and *detect* overflow instead of silently truncating.
+    with INPUT-image area (octave pixels x delta_min^2 — extrema density per
+    input pixel is roughly resolution-independent; 1 slot / 32 input px is
+    ~5x headroom) and *detect* overflow instead of silently truncating.
     """
     h, w = shape
-    k = max(256, (h * w) // 128)
+    input_area = h * w * config.delta_min ** 2
+    k = max(256, int(input_area) // 32)
     k = min(k, config.max_extrema_per_octave)
     return (k + 127) // 128 * 128
 

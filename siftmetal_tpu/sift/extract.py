@@ -64,7 +64,7 @@ def extract_gray(
     lane_overflow = jnp.int32(0)
     for o in range(n_octaves):
         h, w = dogs[o].shape[1], dogs[o].shape[2]
-        budget = _detect.keypoint_budget(config, (h, w))
+        budget = _detect.keypoint_budget(config, (h, w), o)
         kpc, kp_dropped = _detect.compact_octave_keypoints(
             per_octave[o], o, config, budget
         )

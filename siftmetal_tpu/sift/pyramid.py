@@ -24,10 +24,17 @@ def seed_image(gray: jnp.ndarray, config: SiftConfig) -> jnp.ndarray:
     """Grayscale input -> blurred 2x-oversampled seed v(0, 0).
 
     Mirrors DifferenceOfGaussians.encodeSeedTexture
-    (DifferenceOfGaussians.swift:357-389): bilinear 2x upsample then blur by
+    (DifferenceOfGaussians.swift:357-389): bilinear 2x upsample (when
+    delta_min = 0.5; the FAST preset's delta_min = 1 skips oversampling,
+    standard Lowe-style) then blur by
     sqrt(sigma_min^2 - sigma_input^2) / delta_min.
     """
-    scaled = upsample_bilinear_2x(gray)
+    if config.delta_min == 1.0:
+        scaled = gray
+    elif config.delta_min == 0.5:
+        scaled = upsample_bilinear_2x(gray)
+    else:
+        raise ValueError(f"unsupported delta_min {config.delta_min}")
     return blur(scaled, config.seed_blur_sigma())
 
 

@@ -101,3 +101,22 @@ def test_detect_counters_are_consistent(detection):
         >= c["n_edge"]
         >= c["n_border"]
     )
+
+
+def test_fast_preset_detects(butterfly):
+    """FAST preset (delta_min=1, no oversampling): fewer but sane
+    keypoints, sigmas starting at sigma_min*2^(1/n)."""
+    from siftmetal_tpu.config import FAST_CONFIG
+    from siftmetal_tpu.sift.extract import SIFT
+
+    cfg = FAST_CONFIG
+    sift = SIFT(butterfly.shape[0], butterfly.shape[1], cfg)
+    kps, descs, counters = sift.extract(butterfly)
+    n = int(np.asarray(kps.valid).sum())
+    # Same absolute sigma ladder as the default config, evaluated on a 2x
+    # coarser grid — similar keypoint counts, ~4x less pixel work.
+    assert 200 < n < 2500, n
+    v = np.asarray(kps.valid)
+    sig = np.asarray(kps.sigma)[v]
+    assert sig.min() > 0.8
+    assert int(np.asarray(descs.valid).sum()) >= n
