@@ -67,6 +67,21 @@ def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
+def _top2(d2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row (best, second-best, argbest) of a [Q, T] distance matrix.
+
+    Two argmin/min passes instead of ``lax.top_k`` — top_k over wide rows
+    is the matcher's bottleneck on TPU (341 ms for 4096x65536 vs ~2 full
+    VPU reduction passes here).
+    """
+    idx1 = jnp.argmin(d2, axis=1)
+    d1 = jnp.min(d2, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    d2_masked = jnp.where(cols == idx1[:, None], jnp.inf, d2)
+    d2nd = jnp.min(d2_masked, axis=1)
+    return d1, d2nd, idx1.astype(jnp.int32)
+
+
 def _accept(
     d1: jnp.ndarray,
     d2: jnp.ndarray,
@@ -103,11 +118,10 @@ def match_bruteforce(
     t = raw_features(target_features)
     d2 = pairwise_sq_dists(q, t)
     d2 = jnp.where(target_valid[None, :], d2, jnp.inf)
-    neg_top2, idx = lax.top_k(-d2, 2)
-    d1 = jnp.sqrt(-neg_top2[:, 0])
-    d2nd = jnp.sqrt(-neg_top2[:, 1])
+    b1, b2, idx = _top2(d2)
     return _accept(
-        d1, d2nd, idx[:, 0], query_valid, absolute_threshold, ratio_threshold
+        jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
+        absolute_threshold, ratio_threshold,
     )
 
 
@@ -137,12 +151,11 @@ def match_two_stage(
     cand_feats = t[cand]                          # [Q, C, 128]
     d2 = jnp.sum((cand_feats - q[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(target_valid[cand], d2, jnp.inf)
-    neg_top2, pos = lax.top_k(-d2, 2)
-    idx = jnp.take_along_axis(cand, pos, axis=1)
-    d1 = jnp.sqrt(-neg_top2[:, 0])
-    d2nd = jnp.sqrt(-neg_top2[:, 1])
+    b1, b2, pos = _top2(d2)
+    idx = jnp.take_along_axis(cand, pos[:, None], axis=1)[:, 0]
     return _accept(
-        d1, d2nd, idx[:, 0], query_valid, absolute_threshold, ratio_threshold
+        jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
+        absolute_threshold, ratio_threshold,
     )
 
 

@@ -74,12 +74,19 @@ def make_sharded_matcher(
     """
 
     def local_top2(qf, tf, tv):
+        from ..match.matcher import _top2
+
         d2 = pairwise_sq_dists(raw_features(qf), raw_features(tf))
         d2 = jnp.where(tv[None, :], d2, jnp.inf)
-        neg, idx = lax.top_k(-d2, 2)
+        b1, b2, idx = _top2(d2)
         shard = lax.axis_index(axis)
         gidx = idx + shard * tf.shape[0]
-        return -neg, gidx  # [Q, 2] local-best squared distances + global ids
+        # The global second-best's index is never consumed (only its
+        # distance survives the merge), so slot 2 carries a placeholder.
+        return (
+            jnp.stack([b1, b2], axis=1),
+            jnp.stack([gidx, jnp.full_like(gidx, -1)], axis=1),
+        )
 
     def merged(qf, qv, tf, tv):
         d2_l, idx_l = local_top2(qf, tf, tv)
