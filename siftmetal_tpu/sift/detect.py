@@ -189,12 +189,10 @@ def masked_nonzero(
     sv = slot_valid.reshape(-1)
 
     total = jnp.sum(m.astype(jnp.int32))
-    kept = jnp.sum(sv.astype(jnp.int32))
-    order = jnp.nonzero(sv, size=size, fill_value=0)[0]
+    order, kept, _ = compact_indices(sv, size)
     idx = jnp.where(jnp.arange(size) < kept, gpos[order], 0)
-    count = jnp.minimum(kept, size)
-    dropped = total - count
-    return idx.astype(jnp.int32), count, dropped
+    dropped = total - kept
+    return idx.astype(jnp.int32), kept, dropped
 
 
 def compact_indices(

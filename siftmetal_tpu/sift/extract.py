@@ -57,8 +57,12 @@ def extract_gray(
 ) -> Tuple[Keypoints, Descriptors, Dict[str, jnp.ndarray]]:
     """Full SIFT on a [H, W] grayscale image. Pure and jittable
     (``config``/``n_octaves`` must be static)."""
-    gaussians, dogs = build_pyramid(gray, config, n_octaves)
-    per_octave, counters = _detect.detect(dogs, config)
+    # named_scope labels mirror the reference's os_signpost phase names
+    # (Performance.measure call sites at SIFT.swift:155-226) in XProf traces.
+    with jax.named_scope("sift_pyramid"):
+        gaussians, dogs = build_pyramid(gray, config, n_octaves)
+    with jax.named_scope("sift_detect"):
+        per_octave, counters = _detect.detect(dogs, config)
 
     kp_list, desc_rows = [], []
     lane_overflow = jnp.int32(0)
@@ -69,7 +73,8 @@ def extract_gray(
             per_octave[o], o, config, budget
         )
         lane_overflow = lane_overflow + kp_dropped
-        ori = _describe.orientations_octave(gaussians[o], kpc, config)
+        with jax.named_scope(f"sift_orientation_o{o}"):
+            ori = _describe.orientations_octave(gaussians[o], kpc, config)
 
         # Compact (keypoint, orientation) lanes BEFORE the descriptor stage:
         # most of the [K, MAX_ORI] grid is invalid (typical orientation
@@ -84,15 +89,16 @@ def extract_gray(
         lane_overflow = lane_overflow + dropped
 
         rep = lambda a: jnp.repeat(a, m)[order]
-        feats = _describe.descriptor_lanes(
-            gaussians[o],
-            rep(kpc.scale),
-            rep(kpc.x_oct),
-            rep(kpc.y_oct),
-            rep(kpc.sigma_oct),
-            ori.theta.reshape(-1)[order],
-            config,
-        )
+        with jax.named_scope(f"sift_descriptors_o{o}"):
+            feats = _describe.descriptor_lanes(
+                gaussians[o],
+                rep(kpc.scale),
+                rep(kpc.x_oct),
+                rep(kpc.y_oct),
+                rep(kpc.sigma_oct),
+                ori.theta.reshape(-1)[order],
+                config,
+            )
         desc_rows.append(
             dict(
                 valid=slot_valid,
