@@ -31,6 +31,8 @@ def main() -> None:
     h, w = 480, 640
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if batch < 1 or iters < 1:
+        raise SystemExit(f"batch and iters must be >= 1 (got {batch}, {iters})")
     n_oct = config.num_octaves(h, w)
 
     extract = lambda frames: jax.lax.map(

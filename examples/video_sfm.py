@@ -13,6 +13,10 @@ Usage:
 import pathlib
 import sys
 
+# Allow running straight from a source checkout: put the repo root on the
+# path (the package also installs normally via pyproject.toml).
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 import jax
