@@ -58,9 +58,13 @@ def ransac(
 
     solver([S,2],[S,2]) -> model; error_fn(model, [N,2], [N,2]) -> [N]
     residuals compared against ``inlier_threshold``.
+
+    Solves run at HIGHEST matmul precision: the TPU default (bf16) path
+    degrades the SVDs behind the minimal solvers.
     """
     idx = _sample_indices(key, n_hypotheses, sample_size, valid)
-    models = jax.vmap(lambda i: solver(points_a[i], points_b[i]))(idx)
+    with jax.default_matmul_precision("highest"):
+        models = jax.vmap(lambda i: solver(points_a[i], points_b[i]))(idx)
 
     def count_inliers(model):
         err = error_fn(model, points_a, points_b)
@@ -80,7 +84,8 @@ def ransac(
         order = jnp.nonzero(inliers, size=m, fill_value=0)[0]
         # Use all inlier slots; repetition of inlier 0 in padding slots
         # only reweights one point — dominated by the true inliers.
-        refit_model = solver(points_a[order], points_b[order])
+        with jax.default_matmul_precision("highest"):
+            refit_model = solver(points_a[order], points_b[order])
         err = error_fn(refit_model, points_a, points_b)
         refit_inl = (err < inlier_threshold) & valid
         refit_n = jnp.sum(refit_inl.astype(jnp.int32))

@@ -136,6 +136,7 @@ def triangulate(
     """
 
     def one(a1, a2):
+        # (SVD under HIGHEST — TPU default matmul precision is bf16.)
         rows = jnp.stack(
             [
                 a1[0] * p1[2] - p1[0],
@@ -148,7 +149,8 @@ def triangulate(
         x = vt[-1]
         return x[:3] / jnp.where(jnp.abs(x[3]) > 1e-12, x[3], 1e-12)
 
-    return jax.vmap(one)(x1, x2)
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(one)(x1, x2)
 
 
 def decompose_essential(

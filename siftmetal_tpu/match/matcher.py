@@ -60,10 +60,18 @@ def index_keys(features: jnp.ndarray) -> jnp.ndarray:
 
 
 def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """[Q, D], [T, D] -> squared L2 [Q, T] via one MXU matmul."""
+    """[Q, D], [T, D] -> squared L2 [Q, T] via one MXU matmul.
+
+    HIGHEST precision: the TPU's default matmul path multiplies in bf16,
+    which puts ~1% error on distances and flips marginal ratio tests
+    (breaking cross-backend match parity)."""
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True).T
-    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    ab = jnp.dot(
+        a, b.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 

@@ -195,7 +195,8 @@ def make_distributed_ba(
 
         def body(_, state):
             cams, lms, lam = state
-            d_cam, d_lm = step(cams, lms, s, lam)
+            with jax.default_matmul_precision("highest"):
+                d_cam, d_lm = step(cams, lms, s, lam)
             new_c = cams + d_cam
             new_l = lms + d_lm
             c0 = local_cost(cams, lms, s, hd)

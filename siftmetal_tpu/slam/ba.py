@@ -170,7 +170,10 @@ def bundle_adjust(
     def body(_, state):
         cameras, landmarks, lam = state
         p = problem._replace(cameras=cameras, landmarks=landmarks)
-        d_cam, d_lm = _gauss_newton_step(cameras, landmarks, p, lam, hd)
+        # HIGHEST: the normal-equation einsums and the [6C,6C] solve must
+        # not run through the TPU's default bf16 matmul path.
+        with jax.default_matmul_precision("highest"):
+            d_cam, d_lm = _gauss_newton_step(cameras, landmarks, p, lam, hd)
         new_cams = cameras + d_cam
         new_lms = landmarks + d_lm
         # Accept/reject on the SAME (robust) objective the step minimizes.

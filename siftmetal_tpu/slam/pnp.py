@@ -105,7 +105,8 @@ def pnp_ransac(
 ) -> RansacResult:
     """Parallel-hypothesis PnP RANSAC over padded correspondences."""
     idx = _sample_indices(key, n_hypotheses, sample_size, valid)
-    models = jax.vmap(lambda i: pnp_dlt(points3d[i], uv[i], k))(idx)
+    with jax.default_matmul_precision("highest"):
+        models = jax.vmap(lambda i: pnp_dlt(points3d[i], uv[i], k))(idx)
 
     def count_inliers(cam):
         err = jax.vmap(lambda p, o: jnp.linalg.norm(project(cam, k, p) - o))(
@@ -121,9 +122,10 @@ def pnp_ransac(
     n_in = counts[best]
 
     if refine:
-        cam_r = pnp_refine(
-            cam, points3d, uv, k, inliers.astype(jnp.float32)
-        )
+        with jax.default_matmul_precision("highest"):
+            cam_r = pnp_refine(
+                cam, points3d, uv, k, inliers.astype(jnp.float32)
+            )
         inl_r, n_r = count_inliers(cam_r)
         better = n_r >= n_in
         cam = jnp.where(better, cam_r, cam)

@@ -100,7 +100,9 @@ def optimize_pose_graph(
     def body(_, state):
         poses, lam = state
         gg = g._replace(poses=poses)
-        d = _step(gg, lam)
+        # Keep the normal equations off the TPU's bf16 matmul path.
+        with jax.default_matmul_precision("highest"):
+            d = _step(gg, lam)
         new_poses = poses + d
         c0 = graph_cost(gg)
         c1 = graph_cost(g._replace(poses=new_poses))
