@@ -117,3 +117,22 @@ def test_trajectory_tum_roundtrip(tmp_path):
     assert len(ts) == 3
     # world->cam t=(x,0,0) => center = -R^T t = (-x, 0, 0)
     np.testing.assert_allclose(pos[:, 0], [0.0, -1.0, -2.0], atol=1e-5)
+
+
+def test_structured_logging(caplog):
+    import logging
+
+    import jax.numpy as jnp
+
+    from siftmetal_tpu.utils.logging import get_logger, log_counters
+
+    counters = {
+        "n_extrema": jnp.int32(100),
+        "overflow": jnp.int32(3),
+        "descriptor_overflow": jnp.int32(0),
+    }
+    with caplog.at_level(logging.INFO, logger="siftmetal_tpu"):
+        plain = log_counters(counters)
+    assert plain == {"n_extrema": 100, "overflow": 3, "descriptor_overflow": 0}
+    assert any("dropped" in r.message for r in caplog.records)
+    assert get_logger("x").name == "siftmetal_tpu.x"
