@@ -101,18 +101,34 @@ def _descriptor_kernel(
     rows, cols, n_hist, n_ori, lam,
 ):
     g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
 
-    def dma(u, src, dest, sem):
-        l = g * GROUP + u
+    def dma(grp, sl, u, src, dest, sem_bank):
+        l = grp * GROUP + u
         base = pl.multiple_of(row0_ref[l], 8)
         c0 = pl.multiple_of(c0_ref[l], 128)
         return pltpu.make_async_copy(
-            src.at[pl.ds(base, rows), pl.ds(c0, cols)], dest.at[u], sem
+            src.at[pl.ds(base, rows), pl.ds(c0, cols)],
+            dest.at[sl, u],
+            sems.at[sem_bank, sl, u],
         )
 
-    for u in range(GROUP):
-        dma(u, gi_hbm, pgi, sems.at[0, u]).start()
-        dma(u, gj_hbm, pgj, sems.at[1, u]).start()
+    def start_group(grp, sl):
+        for u in range(GROUP):
+            dma(grp, sl, u, gi_hbm, pgi, 0).start()
+            dma(grp, sl, u, gj_hbm, pgj, 1).start()
+
+    # Double buffering: group g's patches were prefetched by program g-1;
+    # program g prefetches group g+1 while it computes.
+    @pl.when(g == 0)
+    def _():
+        start_group(0, slot)
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        start_group(g + 1, nslot)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(
         jnp.float32
@@ -124,11 +140,11 @@ def _descriptor_kernel(
     cell = 2.0 * lam / n_hist
 
     for u in range(GROUP):
-        dma(u, gi_hbm, pgi, sems.at[0, u]).wait()
-        dma(u, gj_hbm, pgj, sems.at[1, u]).wait()
+        dma(g, slot, u, gi_hbm, pgi, 0).wait()
+        dma(g, slot, u, gj_hbm, pgj, 1).wait()
         l = g * GROUP + u
-        gi = pgi[u]
-        gj = pgj[u]
+        gi = pgi[slot, u]
+        gj = pgj[slot, u]
         sig = sig_ref[l]
         th = th_ref[l]
         dm = row_iota + (r0_ref[l].astype(jnp.float32) - x_ref[l])
@@ -225,9 +241,9 @@ def descriptor_lanes_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((GROUP, rows, cols), jnp.float32),
-            pltpu.VMEM((GROUP, rows, cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
+            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, GROUP)),
         ],
     )
     out = pl.pallas_call(
@@ -258,18 +274,32 @@ def _orientation_kernel(
     rows, cols, n_bins, lam,
 ):
     g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
 
-    def dma(u, src, dest, sem):
-        l = g * GROUP + u
+    def dma(grp, sl, u, src, dest, sem_bank):
+        l = grp * GROUP + u
         base = pl.multiple_of(row0_ref[l], 8)
         c0 = pl.multiple_of(c0_ref[l], 128)
         return pltpu.make_async_copy(
-            src.at[pl.ds(base, rows), pl.ds(c0, cols)], dest.at[u], sem
+            src.at[pl.ds(base, rows), pl.ds(c0, cols)],
+            dest.at[sl, u],
+            sems.at[sem_bank, sl, u],
         )
 
-    for u in range(GROUP):
-        dma(u, gi_hbm, pgi, sems.at[0, u]).start()
-        dma(u, gj_hbm, pgj, sems.at[1, u]).start()
+    def start_group(grp, sl):
+        for u in range(GROUP):
+            dma(grp, sl, u, gi_hbm, pgi, 0).start()
+            dma(grp, sl, u, gj_hbm, pgj, 1).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_group(0, slot)
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        start_group(g + 1, nslot)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(
         jnp.float32
@@ -279,11 +309,11 @@ def _orientation_kernel(
     )
 
     for u in range(GROUP):
-        dma(u, gi_hbm, pgi, sems.at[0, u]).wait()
-        dma(u, gj_hbm, pgj, sems.at[1, u]).wait()
+        dma(g, slot, u, gi_hbm, pgi, 0).wait()
+        dma(g, slot, u, gj_hbm, pgj, 1).wait()
         l = g * GROUP + u
-        gi = pgi[u]
-        gj = pgj[u]
+        gi = pgi[slot, u]
+        gj = pgj[slot, u]
         sig = sig_ref[l]
         dm = row_iota + (r0_ref[l].astype(jnp.float32) - x_ref[l])
         dn = col_iota + (c0_ref[l].astype(jnp.float32) - y_ref[l])
@@ -350,9 +380,9 @@ def orientation_hist_lanes_pallas(
             (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((GROUP, rows, cols), jnp.float32),
-            pltpu.VMEM((GROUP, rows, cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
+            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, GROUP)),
         ],
     )
     out = pl.pallas_call(
