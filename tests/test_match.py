@@ -136,3 +136,31 @@ def test_geometry_score_discriminates():
         valid=jnp.arange(n) < 5,
     )
     assert float(geometry_score(few, jnp.asarray(q_xy), jnp.asarray(t_xy))) == 0.0
+
+
+def test_top2_matches_topk_reference():
+    from siftmetal_tpu.match.matcher import _top2
+
+    rng = np.random.default_rng(7)
+    d2 = rng.uniform(0, 10, (64, 257)).astype(np.float32)
+    d2[5, 100] = d2[5, 101] = 0.25  # exact tie
+    b1, b2, idx = _top2(jnp.asarray(d2))
+    srt = np.sort(d2, axis=1)
+    np.testing.assert_allclose(np.asarray(b1), srt[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b2), srt[:, 1], rtol=1e-6)
+    assert (np.take_along_axis(d2, np.asarray(idx)[:, None], 1)[:, 0]
+            == srt[:, 0]).all()
+
+
+def test_masked_nonzero_dense_block_reports_drops():
+    from siftmetal_tpu.sift.detect import masked_nonzero
+
+    # Adversarial density: 100 hits inside one 512 block exceeds the
+    # 16-slot bound -> drops must be REPORTED, survivors still valid.
+    mask = np.zeros(2048, dtype=bool)
+    mask[100:200] = True
+    idx, count, dropped = masked_nonzero(jnp.asarray(mask), 128)
+    assert int(dropped) == 100 - 16
+    assert int(count) == 16
+    got = np.asarray(idx)[:16]
+    assert set(got).issubset(set(range(100, 200)))
