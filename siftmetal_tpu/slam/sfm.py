@@ -69,6 +69,7 @@ class SfmMap:
         self.obs_uv = np.zeros((c.max_observations, 2), dtype=np.float32)
         self.n_obs = 0
         self.frames = []  # (xy, desc, valid) per registered keyframe
+        self.odometry = []  # rel pose i -> i+1 measured at registration
 
     # -- helpers ---------------------------------------------------------
     def _add_observations(self, cam_idx, lm_idx, uv):
@@ -163,6 +164,13 @@ class SfmMap:
             np.ones(len(sel), np.int32), lm_idx, dst_uv[sel]
         )
         self.frames = [frame0, frame1]
+        from .camera import relative as _relative
+
+        self.odometry = [
+            np.asarray(
+                _relative(jnp.asarray(cam0), jnp.asarray(cam1))
+            ).astype(np.float32)
+        ]
         self._frame_lm = {0: (sel, lm_idx), 1: (tgt, lm_idx)}
         return len(sel)
 
@@ -260,6 +268,15 @@ class SfmMap:
             np.full(len(seln), cam_id, np.int32), lm_idx, uv[seln]
         )
         self.frames.append(frame)
+        from .camera import relative as _relative
+
+        self.odometry.append(
+            np.asarray(
+                _relative(
+                    jnp.asarray(cam_prev), jnp.asarray(cam_new)
+                )
+            ).astype(np.float32)
+        )
         return n_in, len(seln)
 
     def bundle_adjust(self, fixed_cameras: int = 1):
@@ -285,9 +302,65 @@ class SfmMap:
                 huber_delta=c.ba_huber_delta,
             )
         )(problem)
-        self.cameras = np.asarray(out.cameras)
-        self.landmarks = np.asarray(out.landmarks)
+        # np.array (copy): np.asarray of a jax array is READ-ONLY and the
+        # map mutates these buffers in place.
+        self.cameras = np.array(out.cameras)
+        self.landmarks = np.array(out.landmarks)
         return stats
+
+    def optimize_pose_graph(
+        self,
+        loop_closures: Optional[list] = None,
+        n_iterations: int = 20,
+    ):
+        """Pose-graph optimization over the keyframe chain.
+
+        Edges: the odometry measurements RECORDED when each keyframe was
+        registered (NOT re-derived from current poses — corrupted absolute
+        poses must not corrupt the constraints) plus optional
+        ``loop_closures`` — (i, j, rel_ij[6]) or (i, j) pairs, where a
+        bare pair measures the CURRENT relative pose (useful after PnP
+        re-localization). Landmarks are re-anchored implicitly by the
+        subsequent bundle_adjust() call; typical loop-closure flow:
+
+            smap.optimize_pose_graph(loop_closures=[(0, k)])
+            smap.bundle_adjust()
+        """
+        import jax
+
+        from .camera import relative
+        from .pose_graph import PoseGraph, optimize_pose_graph
+
+        n = self.n_cameras
+        assert n >= 2, "need at least two keyframes"
+        cams = jnp.asarray(self.cameras[:n])
+        ei = list(range(n - 1))
+        ej = list(range(1, n))
+        rels = [np.asarray(r) for r in self.odometry[: n - 1]]
+        for lc in loop_closures or []:
+            if len(lc) == 2:
+                i, j = lc
+                rel = np.asarray(relative(cams[i], cams[j]))
+            else:
+                i, j, rel = lc
+                rel = np.asarray(rel)
+            ei.append(i)
+            ej.append(j)
+            rels.append(rel)
+
+        g = PoseGraph(
+            poses=cams,
+            edge_i=jnp.asarray(np.asarray(ei, np.int32)),
+            edge_j=jnp.asarray(np.asarray(ej, np.int32)),
+            rel_ij=jnp.asarray(np.stack(rels).astype(np.float32)),
+            weight=jnp.ones(len(ei)),
+            fixed=1,
+        )
+        out, cost = jax.jit(
+            lambda x: optimize_pose_graph(x, n_iterations=n_iterations)
+        )(g)
+        self.cameras[:n] = np.asarray(out.poses)
+        return float(cost)
 
     def reprojection_rms(self) -> float:
         from .ba import BAProblem as _P, residuals

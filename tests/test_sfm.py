@@ -85,3 +85,56 @@ def test_umeyama_exact():
     assert abs(s - 2.5) < 1e-6
     np.testing.assert_allclose(r, r_true, atol=1e-6)
     assert ate_rmse(src, dst) < 1e-6
+
+
+def test_pose_graph_integration(synthetic_sequence):
+    """Perturb mid-chain poses, repair with the pose graph built from
+    odometry + a loop-closure edge, then BA to polish."""
+    cams_gt, lms_gt, frames = synthetic_sequence
+    smap = SfmMap(K, SfmConfig(max_cameras=8))
+    smap.initialize(frames[0], frames[1])
+    for f in frames[2:]:
+        smap.add_frame(f)
+    smap.bundle_adjust(fixed_cameras=1)
+    baseline_ate = ate_rmse(
+        camera_centers(smap.cameras[: smap.n_cameras]),
+        camera_centers(cams_gt),
+    )
+
+    # Corrupt poses 2..4, keep the (good) relative measurements as edges.
+    import jax.numpy as jnp
+    from siftmetal_tpu.slam.camera import relative
+
+    good = smap.cameras[: smap.n_cameras].copy()
+    rels = [
+        np.asarray(relative(jnp.asarray(good[i]), jnp.asarray(good[i + 1])))
+        for i in range(smap.n_cameras - 1)
+    ]
+    rng = np.random.default_rng(3)
+    smap.cameras[2: smap.n_cameras] += rng.normal(
+        0, 0.05, (smap.n_cameras - 2, 6)
+    ).astype(np.float32)
+
+    cost = smap.optimize_pose_graph(
+        loop_closures=[(0, smap.n_cameras - 1, rels_chain(rels))],
+        n_iterations=40,
+    )
+    assert cost < 5e-3, cost  # consistent edges -> near-zero residual
+    # Pose graph restores odometry-grade poses; BA polishes to baseline.
+    smap.bundle_adjust(fixed_cameras=1)
+    repaired_ate = ate_rmse(
+        camera_centers(smap.cameras[: smap.n_cameras]),
+        camera_centers(cams_gt),
+    )
+    assert repaired_ate < 2 * baseline_ate + 1e-3, (repaired_ate, baseline_ate)
+
+
+def rels_chain(rels):
+    """Compose a chain of relative poses into one 0->last measurement."""
+    import jax.numpy as jnp
+    from siftmetal_tpu.slam.camera import compose
+
+    acc = jnp.asarray(rels[0])
+    for r in rels[1:]:
+        acc = compose(acc, jnp.asarray(r))
+    return np.asarray(acc)
