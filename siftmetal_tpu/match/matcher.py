@@ -133,36 +133,6 @@ def match_bruteforce(
     )
 
 
-def _blocked_smallest_k(
-    d: jnp.ndarray, k: int, block: int = 512
-) -> jnp.ndarray:
-    """Indices of the k smallest entries per row of [Q, T].
-
-    ``lax.top_k`` over very wide rows is slow on TPU (341 ms at T=65536);
-    two-level selection — per-block top-(k cap block) then a top_k over the
-    surviving pool — keeps every top_k narrow. Exact: a row's k smallest
-    can contribute at most k per block, and per-block candidates
-    min(k, block) >= that.
-    """
-    q, t = d.shape
-    if t <= max(2 * block, k):
-        _, idx = lax.top_k(-d, k)
-        return idx
-    nb = (t + block - 1) // block
-    pad = nb * block - t
-    dp = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    db = dp.reshape(q, nb, block)
-    kb = min(k, block)
-    negs, loc = lax.top_k(-db, kb)                 # [Q, nb, kb]
-    base = (
-        jax.lax.broadcasted_iota(jnp.int32, (q, nb, kb), 1) * block
-    )
-    pool_idx = (loc + base).reshape(q, nb * kb)
-    pool_val = (-negs).reshape(q, nb * kb)
-    _, pos = lax.top_k(-pool_val, k)               # [Q, k]
-    return jnp.take_along_axis(pool_idx, pos, axis=1)
-
-
 def match_two_stage(
     query_features: jnp.ndarray,
     target_features: jnp.ndarray,
@@ -185,7 +155,7 @@ def match_two_stage(
     kt = index_keys(target_features)
     kd = pairwise_sq_dists(kq, kt)
     kd = jnp.where(target_valid[None, :], kd, jnp.inf)
-    cand = _blocked_smallest_k(kd, n_candidates)  # [Q, C] target indices
+    _, cand = lax.top_k(-kd, n_candidates)        # [Q, C] target indices
     cand_feats = t[cand]                          # [Q, C, 128]
     d2 = jnp.sum((cand_feats - q[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(target_valid[cand], d2, jnp.inf)

@@ -165,14 +165,3 @@ def test_masked_nonzero_dense_block_reports_drops():
     got = np.asarray(idx)[:16]
     assert set(got).issubset(set(range(100, 200)))
 
-
-def test_blocked_smallest_k_exact():
-    from siftmetal_tpu.match.matcher import _blocked_smallest_k
-
-    rng = np.random.default_rng(11)
-    d = rng.uniform(0, 1, (16, 3000)).astype(np.float32)
-    idx = np.asarray(_blocked_smallest_k(jnp.asarray(d), 32, block=512))
-    ref = np.argsort(d, axis=1)[:, :32]
-    got_vals = np.sort(np.take_along_axis(d, idx, 1), axis=1)
-    ref_vals = np.sort(np.take_along_axis(d, ref, 1), axis=1)
-    np.testing.assert_allclose(got_vals, ref_vals, rtol=1e-6)
