@@ -44,7 +44,14 @@ def main() -> None:
         def body(_, carry):
             frames, acc = carry
             _, descs, counters = extract(frames)
-            acc = acc + jnp.sum(counters["n_descriptors"])
+            # The dependency must cover the DESCRIPTOR VALUES, not just the
+            # counters: n_descriptors alone depends only on lane validity,
+            # and XLA dead-code-eliminates the whole descriptor stage
+            # (measured: identical time with/without it — round 1's number
+            # silently skipped descriptors).
+            acc = acc + jnp.sum(counters["n_descriptors"]) + jnp.sum(
+                descs.features.astype(jnp.int32)
+            )
             # Thread a real data dependency between iterations (the 1e-12
             # nudge is numerically invisible but forces sequencing).
             frames = frames + 1e-12 * acc.astype(jnp.float32)

@@ -1,0 +1,142 @@
+"""Per-stage throughput profile of the extraction pipeline on real TPU.
+
+Times CUMULATIVE pipeline prefixes (seed, pyramid, +detect, +compact,
++orient, full extract) with the same honest methodology as bench.py: N
+iterations inside one jitted fori_loop with a threaded data dependency and
+a single host fetch (block_until_ready through the axon tunnel reads
+10-600x too fast — never use it here).
+
+Usage: python benchmarks/stage_bench.py [batch] [iters] [stage ...]
+Stages default to all. Prints one JSON line per stage with ms/frame.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.sift import detect as _detect
+    from siftmetal_tpu.sift import describe as _describe
+    from siftmetal_tpu.sift.extract import extract_gray
+    from siftmetal_tpu.sift.pyramid import build_pyramid, seed_image
+
+    config = SiftConfig()
+    h, w = 480, 640
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3:])
+    n_oct = config.num_octaves(h, w)
+
+    def stage_seed(g):
+        return jnp.sum(seed_image(g, config))
+
+    def stage_pyramid(g):
+        gaussians, dogs = build_pyramid(g, config, n_oct)
+        return sum(jnp.sum(d) for d in dogs)
+
+    def stage_detect(g):
+        _, dogs = build_pyramid(g, config, n_oct)
+        per_octave, counters = _detect.detect(dogs, config)
+        return counters["n_border"]
+
+    def stage_compact(g):
+        gaussians, dogs = build_pyramid(g, config, n_oct)
+        per_octave, counters = _detect.detect(dogs, config)
+        acc = counters["n_border"]
+        for o in range(n_oct):
+            hh, ww = dogs[o].shape[1], dogs[o].shape[2]
+            budget = _detect.keypoint_budget(config, (hh, ww), o)
+            kpc, _ = _detect.compact_octave_keypoints(
+                per_octave[o], o, config, budget
+            )
+            acc = acc + jnp.sum(kpc.valid)
+        return acc
+
+    def stage_orient(g):
+        gaussians, dogs = build_pyramid(g, config, n_oct)
+        per_octave, counters = _detect.detect(dogs, config)
+        acc = counters["n_border"]
+        for o in range(n_oct):
+            hh, ww = dogs[o].shape[1], dogs[o].shape[2]
+            budget = _detect.keypoint_budget(config, (hh, ww), o)
+            kpc, _ = _detect.compact_octave_keypoints(
+                per_octave[o], o, config, budget
+            )
+            ori = _describe.orientations_octave(gaussians[o], kpc, config)
+            acc = acc + jnp.sum(ori.valid)
+        return acc
+
+    def stage_full(g):
+        _, descs, counters = extract_gray(g, config, n_oct)
+        # Sum over the feature bytes so the descriptor stage cannot be
+        # dead-code-eliminated (counters alone don't depend on it).
+        return counters["n_descriptors"] + jnp.sum(
+            descs.features.astype(jnp.int32)
+        )
+
+    stages = {
+        "seed": stage_seed,
+        "pyramid": stage_pyramid,
+        "detect": stage_detect,
+        "compact": stage_compact,
+        "orient": stage_orient,
+        "full": stage_full,
+    }
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0.0, 1.0, (batch, h, w)).astype(np.float32)
+    )
+
+    results = {}
+    for name, fn in stages.items():
+        if only and name not in only:
+            continue
+        run = lambda fr: jax.lax.map(fn, fr)
+
+        @jax.jit
+        def bench_n(frames):
+            def body(_, carry):
+                frames, acc = carry
+                out = run(frames)
+                acc = acc + jnp.sum(out).astype(jnp.float32)
+                frames = frames + 1e-12 * acc
+                return frames, acc
+
+            frames, acc = lax.fori_loop(
+                0, iters, body, (frames, jnp.float32(0))
+            )
+            return acc
+
+        _ = float(np.asarray(bench_n(frames)))  # warmup/compile
+        t0 = time.perf_counter()
+        _ = float(np.asarray(bench_n(frames)))
+        dt = time.perf_counter() - t0
+        ms = dt / (batch * iters) * 1e3
+        results[name] = ms
+        print(
+            json.dumps(
+                {
+                    "stage": name,
+                    "ms_per_frame": round(ms, 3),
+                    "fps": round(1e3 / ms, 1),
+                    "batch": batch,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -106,7 +106,10 @@ def main(out_dir="/tmp/video_sfm"):
     n0 = smap.initialize(frames[0], frames[1])
     print(f"  bootstrap: {n0} landmarks")
     for i, f in enumerate(frames[2:], start=2):
-        n_in, n_new = smap.add_frame(f)
+        ok, n_in, n_new = smap.add_frame(f)
+        if not ok:
+            print(f"  frame {i}: tracking failed ({n_in} inliers), skipped")
+            continue
         print(f"  frame {i}: {n_in} PnP inliers, {n_new} new landmarks")
     stats = smap.bundle_adjust()
     print(

@@ -115,8 +115,12 @@ int fl_load_pnm_gray(const char* path, float* out, int64_t max_pixels,
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   int magic, w, h, maxval;
+  // w/h must be validated positive BEFORE computing n: a malformed header
+  // with negative dimensions would make n negative, slip past the
+  // n > max_pixels check, and turn vector(n*ch) into a huge size_t.
   if (!read_pnm_header(f, &magic, &w, &h, &maxval) ||
-      (magic != 5 && magic != 6) || maxval <= 0 || maxval > 255) {
+      (magic != 5 && magic != 6) || maxval <= 0 || maxval > 255 ||
+      w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) {
     fclose(f);
     return -2;
   }

@@ -78,12 +78,15 @@ def ransac(
     n_in = counts[best]
 
     if refit:
-        # Weighted least-squares refit on the winning inlier set: re-run
-        # the solver on up-to-S' inliers (gathered, padded by repetition).
+        # Least-squares refit on the winning inlier set: re-run the solver
+        # on the gathered inliers, padding the remaining slots by REPEATING
+        # THE FIRST INLIER (nonzero's fill_value=0 would inject array index
+        # 0 — an arbitrary point that may be a gross outlier). Repetition
+        # of a genuine inlier only reweights it; every refit equation stays
+        # an inlier constraint.
         m = points_a.shape[0]
         order = jnp.nonzero(inliers, size=m, fill_value=0)[0]
-        # Use all inlier slots; repetition of inlier 0 in padding slots
-        # only reweights one point — dominated by the true inliers.
+        order = jnp.where(jnp.arange(m) < n_in, order, order[0])
         with jax.default_matmul_precision("highest"):
             refit_model = solver(points_a[order], points_b[order])
         err = error_fn(refit_model, points_a, points_b)

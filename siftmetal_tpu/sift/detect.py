@@ -475,12 +475,14 @@ def detect(
 def gather_keypoints(
     per_octave: Sequence[OctaveKeypoints],
     config: SiftConfig,
-) -> Keypoints:
+) -> Tuple[Keypoints, jnp.ndarray]:
     """Compact per-octave padded slots into one global [max_keypoints] set.
 
     The second (global) compaction bounds all downstream per-keypoint work,
     replacing the reference's per-octave CPU read-back loops
     (Sources/SIFTMetal/SIFT/SIFT.swift:177-204) with one on-device gather.
+    Returns ``(keypoints, n_dropped)`` — keypoints lost because the octaves'
+    combined survivors exceed ``max_keypoints`` are counted, never silent.
     """
     n = config.max_keypoints
 
@@ -494,13 +496,13 @@ def gather_keypoints(
             for o, kp in enumerate(per_octave)
         ]
     )
-    order, count, _ = compact_indices(valid, n)
+    order, count, dropped = compact_indices(valid, n)
     out_valid = jnp.arange(n) < count
 
     def take(a):
         return a[order]
 
-    return Keypoints(
+    keypoints = Keypoints(
         valid=out_valid,
         octave=take(octave),
         scale=take(cat("scale")),
@@ -512,3 +514,4 @@ def gather_keypoints(
         sigma=take(cat("sigma")),
         value=take(cat("value")),
     )
+    return keypoints, dropped

@@ -112,11 +112,11 @@ def extract_gray(
         )
         kp_list.append(per_octave[o])
 
-    keypoints = _detect.gather_keypoints(kp_list, config)
+    keypoints, kp_dropped_global = _detect.gather_keypoints(kp_list, config)
 
     n = config.max_descriptors
     valid = jnp.concatenate([r["valid"] for r in desc_rows])
-    order, count, _ = _detect.compact_indices(valid, n)
+    order, count, desc_dropped = _detect.compact_indices(valid, n)
 
     def take(field):
         return jnp.concatenate([r[field] for r in desc_rows])[order]
@@ -131,7 +131,12 @@ def extract_gray(
         features=take("features"),
     )
     counters["n_descriptors"] = count
-    counters["descriptor_overflow"] = jnp.maximum(count - n, 0) + lane_overflow
+    # Every place a descriptor lane can be lost to a static budget is
+    # counted here: per-octave keypoint/lane compaction (lane_overflow) and
+    # the global max_descriptors compaction (desc_dropped). The global
+    # keypoint-set compaction is reported separately.
+    counters["descriptor_overflow"] = desc_dropped + lane_overflow
+    counters["keypoint_overflow"] = kp_dropped_global
     return keypoints, descriptors, counters
 
 

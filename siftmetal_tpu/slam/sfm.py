@@ -47,6 +47,10 @@ class SfmConfig:
     match_ratio_threshold: float = 0.7
     ransac_hypotheses: int = 512
     pnp_inlier_threshold: float = 4.0
+    # Minimum PnP inliers to accept a keyframe registration; below this the
+    # pose is untrustworthy and add_frame refuses to commit it (a garbage
+    # pose would permanently corrupt the map and the odometry chain).
+    min_pnp_inliers: int = 10
     triangulation_min_depth: float = 1e-3
     ba_iterations: int = 6
     ba_huber_delta: float = 3.0
@@ -174,9 +178,14 @@ class SfmMap:
         self._frame_lm = {0: (sel, lm_idx), 1: (tgt, lm_idx)}
         return len(sel)
 
-    def add_frame(self, frame, key=None) -> Tuple[int, int]:
+    def add_frame(self, frame, key=None) -> Tuple[bool, int, int]:
         """Register a new keyframe: PnP against the map + triangulate new
-        landmarks vs the previous keyframe. Returns (n_inliers, n_new)."""
+        landmarks vs the previous keyframe.
+
+        Returns ``(ok, n_inliers, n_new)``. When PnP fails (``res.ok``
+        false, or fewer than ``config.min_pnp_inliers`` inliers) NOTHING is
+        committed — no camera, no observations, no odometry edge — and the
+        caller should skip or re-localize the frame."""
         key = key if key is not None else jax.random.PRNGKey(self.n_cameras)
         c = self.config
         xy, desc, valid = frame
@@ -203,6 +212,8 @@ class SfmMap:
         )
         inl = np.asarray(res.inliers)
         n_in = int(res.n_inliers)
+        if not bool(res.ok) or n_in < c.min_pnp_inliers:
+            return False, n_in, 0
         self.cameras[cam_id] = np.asarray(res.model)
         self.n_cameras += 1
 
@@ -277,7 +288,7 @@ class SfmMap:
                 )
             ).astype(np.float32)
         )
-        return n_in, len(seln)
+        return True, n_in, len(seln)
 
     def bundle_adjust(self, fixed_cameras: int = 1):
         """Global BA over the current map (jit-compiled per (C,L,O) fill

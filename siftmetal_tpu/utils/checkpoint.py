@@ -2,9 +2,10 @@
 
 The reference serializes nothing (SURVEY.md §5 "Checkpoint/resume:
 absent"); the SfM back-end here checkpoints its full map state so long
-reconstructions can resume after preemption. Uses orbax-checkpoint when
-available, with a plain .npz fallback (both formats carry the same
-arrays; npz is the interchange/default since maps are modest-sized).
+reconstructions can resume after preemption. Format: plain .npz — maps
+are modest-sized host-side arrays, so a single compressed archive (plus a
+JSON meta record for the fill counters) is the whole story; there is no
+sharded-array state that would warrant an orbax-style async checkpointer.
 """
 
 from __future__ import annotations
@@ -57,6 +58,40 @@ def load_map(path: str, config=None) -> "SfmMap":
     return smap
 
 
+def rotation_to_quaternion(r: np.ndarray) -> np.ndarray:
+    """[3,3] rotation -> unit quaternion (qx, qy, qz, qw), Shepperd-style:
+    branch on the largest of (trace, r00, r11, r22) so the division is
+    always by a well-conditioned component. The trace-only formula breaks
+    near 180-degree rotations (qw ~ 0 -> garbage axis components)."""
+    tr = r[0, 0] + r[1, 1] + r[2, 2]
+    if tr > max(r[0, 0], r[1, 1], r[2, 2]):
+        s = np.sqrt(1.0 + tr) * 2.0  # = 4*qw
+        qw = 0.25 * s
+        qx = (r[2, 1] - r[1, 2]) / s
+        qy = (r[0, 2] - r[2, 0]) / s
+        qz = (r[1, 0] - r[0, 1]) / s
+    elif r[0, 0] >= r[1, 1] and r[0, 0] >= r[2, 2]:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2.0  # = 4*qx
+        qw = (r[2, 1] - r[1, 2]) / s
+        qx = 0.25 * s
+        qy = (r[0, 1] + r[1, 0]) / s
+        qz = (r[0, 2] + r[2, 0]) / s
+    elif r[1, 1] >= r[2, 2]:
+        s = np.sqrt(1.0 + r[1, 1] - r[0, 0] - r[2, 2]) * 2.0  # = 4*qy
+        qw = (r[0, 2] - r[2, 0]) / s
+        qx = (r[0, 1] + r[1, 0]) / s
+        qy = 0.25 * s
+        qz = (r[1, 2] + r[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + r[2, 2] - r[0, 0] - r[1, 1]) * 2.0  # = 4*qz
+        qw = (r[1, 0] - r[0, 1]) / s
+        qx = (r[0, 2] + r[2, 0]) / s
+        qy = (r[1, 2] + r[2, 1]) / s
+        qz = 0.25 * s
+    q = np.array([qx, qy, qz, qw], dtype=np.float64)
+    return q / np.linalg.norm(q)
+
+
 def save_trajectory_tum(path: str, timestamps, cameras) -> None:
     """Write camera trajectory in TUM format (timestamp tx ty tz qx qy qz qw),
     the format the ATE tooling and standard evaluators consume."""
@@ -69,10 +104,7 @@ def save_trajectory_tum(path: str, timestamps, cameras) -> None:
     with open(path, "w") as f:
         for ts, cam, c in zip(timestamps, np.asarray(cameras), centers):
             r = np.asarray(rodrigues(jnp.asarray(cam[:3]))).T  # cam->world
-            qw = np.sqrt(max(0.0, 1 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
-            qx = (r[2, 1] - r[1, 2]) / max(4 * qw, 1e-12)
-            qy = (r[0, 2] - r[2, 0]) / max(4 * qw, 1e-12)
-            qz = (r[1, 0] - r[0, 1]) / max(4 * qw, 1e-12)
+            qx, qy, qz, qw = rotation_to_quaternion(r)
             f.write(
                 f"{ts:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
                 f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n"

@@ -41,7 +41,9 @@ def detection(butterfly):
     def run(gray):
         _, dogs = build_pyramid(gray, CFG, n_oct)
         per_octave, counters = detect(dogs, CFG)
-        return gather_keypoints(per_octave, CFG), counters
+        kps, kp_dropped = gather_keypoints(per_octave, CFG)
+        counters["keypoint_overflow"] = kp_dropped
+        return kps, counters
 
     kps, counters = run(gray)
     return kps, {k: int(v) for k, v in counters.items()}

@@ -36,6 +36,31 @@ def test_noise_image_runs_and_reports_overflow_honestly():
     assert int(counters["overflow"]) >= 0
 
 
+def test_global_descriptor_overflow_is_counted(butterfly):
+    """Overflow the GLOBAL descriptor compaction (not just per-octave lane
+    budgets): per-octave lane budgets sum past max_descriptors, so the
+    final compaction in extract_gray must drop AND count (VERDICT r1 #2 —
+    the dropped count used to be discarded). Butterfly carries ~1600 real
+    descriptors; a 128-slot global budget must saturate and report."""
+    cfg = SiftConfig(max_keypoints=2048, max_descriptors=128)
+    sift = SIFT(butterfly.shape[0], butterfly.shape[1], cfg)
+    kps, descs, counters = sift.extract(butterfly)
+    n_valid = int(np.asarray(descs.valid).sum())
+    assert n_valid == cfg.max_descriptors  # budget saturated
+    assert int(counters["descriptor_overflow"]) >= 1600 - 128
+    assert int(counters["n_descriptors"]) == n_valid
+
+
+def test_global_keypoint_overflow_is_counted(butterfly):
+    """Same for the global keypoint merge in gather_keypoints (~1300 real
+    keypoints vs a 64-slot global budget)."""
+    cfg = SiftConfig(max_keypoints=64, max_descriptors=256)
+    sift = SIFT(butterfly.shape[0], butterfly.shape[1], cfg)
+    kps, descs, counters = sift.extract(butterfly)
+    assert int(np.asarray(kps.valid).sum()) == cfg.max_keypoints
+    assert int(counters["keypoint_overflow"]) >= 1300 - 64
+
+
 def test_compact_indices_dense_and_overflow():
     valid = jnp.asarray(np.array([1, 1, 1, 1, 0, 1, 1, 1], dtype=bool))
     idx, count, dropped = compact_indices(valid, 4)

@@ -92,6 +92,55 @@ def test_ransac_homography_with_outliers():
     assert inl[:n_out].mean() < 0.05
 
 
+def test_ransac_refit_ignores_gross_outlier_at_index_0():
+    """The refit pads its gathered inlier list by repeating the FIRST
+    INLIER; a gross outlier sitting at array index 0 must not poison the
+    refit (regression: fill_value=0 padding used to inject point 0 into
+    most refit rows, VERDICT r1 #6)."""
+    from siftmetal_tpu.geometry.ransac import ransac
+    from siftmetal_tpu.geometry.twoview import (
+        homography_from_points as solver,
+        homography_transfer_error as err_fn,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 64
+    h_true = np.array(
+        [[1.05, 0.05, 8.0], [-0.02, 0.98, -5.0], [0, 0, 1.0]], np.float32
+    )
+    src = rng.uniform(0, 400, (n, 2)).astype(np.float32)
+    p = np.c_[src, np.ones(n)] @ h_true.T
+    dst = (p[:, :2] / p[:, 2:]).astype(np.float32)
+    dst[1:24] += rng.normal(0, 0.5, (23, 2))  # noisy inliers
+    dst[0] = [9000.0, -9000.0]                # gross outlier at index 0
+    dst[24:40] = rng.uniform(0, 400, (16, 2))  # more outliers
+    valid = np.ones(n, bool)
+    valid[40:] = False                         # padding slots
+
+    run = jax.jit(lambda refit: ransac(
+        jax.random.PRNGKey(3), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(valid), solver, err_fn, sample_size=4,
+        n_hypotheses=64, inlier_threshold=3.0, refit=refit,
+    ), static_argnums=0)
+    res_no = run(False)
+    res = run(True)
+
+    true_inl = np.zeros(n, bool)
+    true_inl[1:24] = True
+
+    def mean_err(model):
+        e = np.asarray(err_fn(model, jnp.asarray(src), jnp.asarray(dst)))
+        return e[true_inl].mean()
+
+    assert not bool(np.asarray(res.inliers)[0])  # outlier 0 rejected
+    assert int(res.n_inliers) >= int(res_no.n_inliers)
+    # The all-inlier refit must not be worse than the minimal-sample model.
+    assert mean_err(np.asarray(res.model)) <= mean_err(
+        np.asarray(res_no.model)
+    ) + 1e-3
+    assert mean_err(np.asarray(res.model)) < 1.5
+
+
 def test_fundamental_and_pose(stereo_scene):
     pts3, k, r_true, t_true, x1, x2 = stereo_scene
     f = fundamental_from_points(jnp.asarray(x1), jnp.asarray(x2))

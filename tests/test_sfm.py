@@ -59,8 +59,8 @@ def test_incremental_sfm(synthetic_sequence):
     assert n0 > 200, n0
 
     for f in frames[2:]:
-        n_in, n_new = smap.add_frame(f)
-        assert n_in > 100, n_in
+        ok, n_in, n_new = smap.add_frame(f)
+        assert ok and n_in > 100, n_in
     stats = smap.bundle_adjust(fixed_cameras=1)
     assert float(stats.final_cost) <= float(stats.initial_cost)
 
@@ -72,6 +72,30 @@ def test_incremental_sfm(synthetic_sequence):
     ate = ate_rmse(centers, centers_gt)
     # Trajectory recovered to ~1% of the 2-unit baseline after alignment.
     assert ate < 0.05, ate
+
+
+def test_add_frame_rejects_tracking_failure(synthetic_sequence):
+    """A frame with garbage descriptors (no 2D-3D matches) must be
+    REJECTED: no camera committed, no odometry edge recorded (ADVICE r1:
+    add_frame used to commit a garbage pose on PnP failure)."""
+    _, _, frames = synthetic_sequence
+    smap = SfmMap(K, SfmConfig(max_cameras=8))
+    smap.initialize(frames[0], frames[1])
+    n_before = smap.n_cameras
+    rng = np.random.default_rng(9)
+    xy, desc, valid = frames[2]
+    bad = (
+        xy,
+        jnp.asarray(rng.integers(201, 255, (desc.shape[0], 128)).astype(np.uint8)),
+        valid,
+    )
+    ok, n_in, n_new = smap.add_frame(bad)
+    assert not ok
+    assert smap.n_cameras == n_before
+    assert len(smap.odometry) == n_before - 1
+    # The map still accepts a good frame afterwards.
+    ok, n_in, _ = smap.add_frame(frames[2])
+    assert ok and n_in > 100
 
 
 def test_umeyama_exact():

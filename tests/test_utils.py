@@ -119,6 +119,35 @@ def test_trajectory_tum_roundtrip(tmp_path):
     np.testing.assert_allclose(pos[:, 0], [0.0, -1.0, -2.0], atol=1e-5)
 
 
+def test_quaternion_extraction_near_180_degrees():
+    """Shepperd branch selection: qw ~ 0 rotations (180 deg about an
+    arbitrary axis) must still produce a quaternion that reconstructs the
+    rotation (ADVICE r1: trace-only formula wrote garbage here)."""
+    from siftmetal_tpu.utils.checkpoint import rotation_to_quaternion
+
+    def quat_to_rot(q):
+        x, y, z, w = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+
+    rng = np.random.default_rng(11)
+    axes = rng.normal(size=(8, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    for axis in axes:
+        for angle in (np.pi, np.pi - 1e-7, 2.2, 0.0):
+            k = np.array([
+                [0, -axis[2], axis[1]],
+                [axis[2], 0, -axis[0]],
+                [-axis[1], axis[0], 0],
+            ])
+            r = np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+            q = rotation_to_quaternion(r)
+            np.testing.assert_allclose(quat_to_rot(q), r, atol=1e-6)
+
+
 def test_structured_logging(caplog):
     import logging
 
