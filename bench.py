@@ -25,19 +25,17 @@ def main() -> None:
     from jax import lax
 
     from siftmetal_tpu.config import SiftConfig
-    from siftmetal_tpu.sift.extract import extract_gray
+    from siftmetal_tpu.sift.batched import extract_gray_batch
 
     config = SiftConfig()
     h, w = 480, 640
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     if batch < 1 or iters < 1:
         raise SystemExit(f"batch and iters must be >= 1 (got {batch}, {iters})")
     n_oct = config.num_octaves(h, w)
 
-    extract = lambda frames: jax.lax.map(
-        lambda g: extract_gray(g, config, n_oct), frames
-    )
+    extract = lambda frames: extract_gray_batch(frames, config, n_oct)
 
     @jax.jit
     def bench_n(frames):

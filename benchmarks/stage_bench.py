@@ -1,4 +1,4 @@
-"""Per-stage throughput profile of the extraction pipeline on real TPU.
+"""Per-stage throughput profile of the BATCHED extraction pipeline on TPU.
 
 Times CUMULATIVE pipeline prefixes (seed, pyramid, +detect, +compact,
 +orient, full extract) with the same honest methodology as bench.py: N
@@ -7,10 +7,12 @@ a single host fetch (block_until_ready through the axon tunnel reads
 10-600x too fast — never use it here).
 
 Usage: python benchmarks/stage_bench.py [batch] [iters] [stage ...]
+Optional env: BENCH_CONFIG=fast selects the delta_min=1 standard config.
 Stages default to all. Prints one JSON line per stage with ms/frame.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -25,15 +27,20 @@ def main() -> None:
     import jax.numpy as jnp
     from jax import lax
 
-    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.config import FAST_CONFIG, SiftConfig
     from siftmetal_tpu.sift import detect as _detect
     from siftmetal_tpu.sift import describe as _describe
-    from siftmetal_tpu.sift.extract import extract_gray
-    from siftmetal_tpu.sift.pyramid import build_pyramid, seed_image
+    from siftmetal_tpu.sift.batched import (
+        build_pyramid_batch,
+        extract_gray_batch,
+    )
+    from siftmetal_tpu.sift.pyramid import seed_image
 
-    config = SiftConfig()
+    config = (
+        FAST_CONFIG if os.environ.get("BENCH_CONFIG") == "fast" else SiftConfig()
+    )
     h, w = 480, 640
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     only = set(sys.argv[3:])
     n_oct = config.num_octaves(h, w)
@@ -42,46 +49,43 @@ def main() -> None:
         return jnp.sum(seed_image(g, config))
 
     def stage_pyramid(g):
-        gaussians, dogs = build_pyramid(g, config, n_oct)
+        gaussians, dogs = build_pyramid_batch(g, config, n_oct)
         return sum(jnp.sum(d) for d in dogs)
 
+    def detect_all(g):
+        _, dogs = build_pyramid_batch(g, config, n_oct)
+        per_octave = []
+        total = 0
+        for o in range(n_oct):
+            kp_b, ctr = jax.vmap(
+                lambda d, o=o: _detect.detect_octave(d, o, config)
+            )(dogs[o])
+            per_octave.append(kp_b)
+            total = total + jnp.sum(ctr["n_border"])
+        return dogs, per_octave, total
+
     def stage_detect(g):
-        _, dogs = build_pyramid(g, config, n_oct)
-        per_octave, counters = _detect.detect(dogs, config)
-        return counters["n_border"]
+        _, _, total = detect_all(g)
+        return total
 
     def stage_compact(g):
-        gaussians, dogs = build_pyramid(g, config, n_oct)
-        per_octave, counters = _detect.detect(dogs, config)
-        acc = counters["n_border"]
+        dogs, per_octave, acc = detect_all(g)
         for o in range(n_oct):
-            hh, ww = dogs[o].shape[1], dogs[o].shape[2]
+            hh, ww = dogs[o].shape[-2], dogs[o].shape[-1]
             budget = _detect.keypoint_budget(config, (hh, ww), o)
-            kpc, _ = _detect.compact_octave_keypoints(
-                per_octave[o], o, config, budget
-            )
+            kpc, _ = jax.vmap(
+                lambda kp, o=o, budget=budget: _detect.compact_octave_keypoints(
+                    kp, o, config, budget
+                )
+            )(per_octave[o])
             acc = acc + jnp.sum(kpc.valid)
         return acc
 
-    def stage_orient(g):
-        gaussians, dogs = build_pyramid(g, config, n_oct)
-        per_octave, counters = _detect.detect(dogs, config)
-        acc = counters["n_border"]
-        for o in range(n_oct):
-            hh, ww = dogs[o].shape[1], dogs[o].shape[2]
-            budget = _detect.keypoint_budget(config, (hh, ww), o)
-            kpc, _ = _detect.compact_octave_keypoints(
-                per_octave[o], o, config, budget
-            )
-            ori = _describe.orientations_octave(gaussians[o], kpc, config)
-            acc = acc + jnp.sum(ori.valid)
-        return acc
-
     def stage_full(g):
-        _, descs, counters = extract_gray(g, config, n_oct)
+        _, descs, counters = extract_gray_batch(g, config, n_oct)
         # Sum over the feature bytes so the descriptor stage cannot be
         # dead-code-eliminated (counters alone don't depend on it).
-        return counters["n_descriptors"] + jnp.sum(
+        return jnp.sum(counters["n_descriptors"]) + jnp.sum(
             descs.features.astype(jnp.int32)
         )
 
@@ -90,7 +94,6 @@ def main() -> None:
         "pyramid": stage_pyramid,
         "detect": stage_detect,
         "compact": stage_compact,
-        "orient": stage_orient,
         "full": stage_full,
     }
 
@@ -99,17 +102,15 @@ def main() -> None:
         rng.uniform(0.0, 1.0, (batch, h, w)).astype(np.float32)
     )
 
-    results = {}
     for name, fn in stages.items():
         if only and name not in only:
             continue
-        run = lambda fr: jax.lax.map(fn, fr)
 
         @jax.jit
-        def bench_n(frames):
+        def bench_n(frames, fn=fn):
             def body(_, carry):
                 frames, acc = carry
-                out = run(frames)
+                out = fn(frames)
                 acc = acc + jnp.sum(out).astype(jnp.float32)
                 frames = frames + 1e-12 * acc
                 return frames, acc
@@ -124,7 +125,6 @@ def main() -> None:
         _ = float(np.asarray(bench_n(frames)))
         dt = time.perf_counter() - t0
         ms = dt / (batch * iters) * 1e3
-        results[name] = ms
         print(
             json.dumps(
                 {

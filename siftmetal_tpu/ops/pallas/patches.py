@@ -1,19 +1,36 @@
 """Per-keypoint patch kernels: orientation histograms and descriptors.
 
 The per-lane patch stages dominate post-detection cost in the XLA path:
-each lane's 3x3-to-81x81 window becomes a separate tiny dynamic-slice DMA
-(~1.8 us each; thousands per frame). These Pallas kernels instead walk
-lanes in groups of 8 per grid step, issue all 16 patch DMAs up front
-(overlapping), and fuse the entire per-lane reduction — Gaussian window,
-soft assignment, and the [16, P] x [P, 8] contraction — in VMEM.
+each lane's window becomes a separate tiny dynamic-slice DMA (~1.8 us
+each; thousands per frame). These Pallas kernels instead walk lanes in
+groups of 8 per grid step, issue all 16 patch DMAs one group ahead
+(double-buffered), and fuse the entire per-lane reduction — Gaussian
+window, soft assignment, histogram contraction — in VMEM.
+
+Three throughput tricks beyond the r1 version:
+
+  * **Compute-window compaction.** DMA windows must be 8/128-aligned, so
+    the fetched window is up to [88, 256] while the true patch is at most
+    [81, 81]. After the DMA the window is ROLLED so the patch starts at
+    (0, 0) and all per-pixel math runs on a [*, 128] slice — half the
+    vector work (the true patch width always fits one 128-lane tile).
+    Rolled-in wrap pixels land outside the patch's coordinate box, so the
+    same inside-the-window tests that mask alignment slack zero them.
+  * **Validity skip.** Lanes are budget slots; per-lane ``valid`` flags
+    (scalar-prefetched) let invalid lanes skip their DMAs and compute
+    entirely (outputs zeroed), so cost follows the REAL keypoint count,
+    not the static budget (budgets carry 2-5x headroom by design).
+    Every group prefetches the NEXT group's valid lanes whether or not it
+    is active itself, so the double-buffer chain never deadlocks on
+    ragged (non-prefix) validity patterns.
+  * **Shared fields.** Orientation and descriptor stages read the same
+    padded gradient fields (padded once per octave with the larger
+    descriptor geometry), and a batch of frames concatenates fields along
+    the row axis so one kernel call serves all frames (per-lane ``frame``
+    indices select the slice).
 
 Alignment rules (Mosaic): DMA offsets must be 8-aligned (sublanes) and
-128-aligned (lanes), so the gradient fields are padded and each lane's
-window start is aligned DOWN; the residual offset is carried in the
-continuous patch coordinates, and the window is oversized so the true
-patch always fits ([88, 256] for descriptors, [48, 256] for
-orientations). Samples outside the true radius fail the same
-inside-the-window test the XLA path applies, so results match exactly.
+128-aligned (lanes); iota must be >= 2-D; rolls use non-negative shifts.
 
 Reference analogues: SIFTOrientation.metal:88-136 and
 SIFTDescriptor.metal:120-237 (per-keypoint GPU threads; here per-lane
@@ -23,7 +40,7 @@ VMEM-resident tiles).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,31 +83,121 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(y < 0, -a, a)
 
 
-def _pad_fields(gi: jnp.ndarray, gj: jnp.ndarray, rpad: int, cpad: int):
-    """[S, H, W] -> flattened [S * Hp, Wp] with per-slice spatial padding
-    (Hp mult of 8, Wp mult of 128)."""
-    s, h, w = gi.shape
+class PatchFields(NamedTuple):
+    """Padded per-octave gradient fields shared by the orientation and
+    descriptor kernels. ``gi``/``gj`` are [(B*)S*Hp, Wp] row/col gradient
+    planes; geometry is sized for the larger (descriptor) patch so one
+    preparation serves both stages."""
+
+    gi: jnp.ndarray
+    gj: jnp.ndarray
+    hp: int            # padded rows per scale slice
+    rpad: int          # top padding of each slice (>= desc radius + 8)
+    cpad: int          # left padding (>= desc radius, multiple of 128)
+    s_per_frame: int   # gradient slices per frame (n_scales_per_octave)
+
+
+def _desc_geometry(config: SiftConfig) -> Tuple[int, int]:
+    """(dma_rows, dma_cols) of the descriptor window: the true patch
+    (2r+1) plus up to 7 rows / 127 cols of alignment slack."""
+    r = config.desc_patch_radius
+    rows = (2 * r + 1 + 7 + 7) // 8 * 8
+    cols = (2 * r + 1 + 127 + 127) // 128 * 128
+    assert 2 * r + 1 <= 128, "descriptor patch must fit one lane tile"
+    return rows, cols
+
+
+def _ori_geometry(config: SiftConfig) -> Tuple[int, int]:
+    r = config.ori_patch_radius
+    rows = (2 * r + 1 + 7 + 7) // 8 * 8
+    cols = (2 * r + 1 + 127 + 127) // 128 * 128
+    assert 2 * r + 1 <= 128, "orientation patch must fit one lane tile"
+    return rows, cols
+
+
+def prepare_patch_fields(gauss: jnp.ndarray, config: SiftConfig) -> PatchFields:
+    """Compute + pad gradient fields once per octave (or per batched
+    octave). ``gauss`` is [S, H, W] or [B, S, H, W]."""
+    from ...sift.describe import gradients
+
+    rows, _ = _desc_geometry(config)
+    radius = config.desc_patch_radius
+    rpad = rows - radius
+    cpad = 256
+
+    sl = (slice(None),) * (gauss.ndim - 3) + (
+        slice(1, config.n_scales_per_octave + 1),
+    )
+    gi, gj = gradients(gauss[sl])
+    h, w = gi.shape[-2], gi.shape[-1]
+    s = gi.shape[-3]
     hp = (h + 2 * rpad + 7) // 8 * 8
     wp = (w + 2 * cpad + 127) // 128 * 128
-    pad = lambda a: jnp.pad(
-        a, ((0, 0), (rpad, hp - h - rpad), (cpad, wp - w - cpad))
-    ).reshape(s * hp, wp)
-    return pad(gi), pad(gj), hp, wp
+
+    def pad(a):
+        widths = [(0, 0)] * (a.ndim - 2) + [
+            (rpad, hp - h - rpad),
+            (cpad, wp - w - cpad),
+        ]
+        return jnp.pad(a, widths).reshape(-1, wp)
+
+    return PatchFields(
+        gi=pad(gi), gj=pad(gj), hp=hp, rpad=rpad, cpad=cpad, s_per_frame=s
+    )
 
 
-def _lane_prep(scale, x_oct, y_oct, rpad, cpad, hp, radius):
-    """Aligned window starts + continuous centers in padded coordinates."""
-    ci = jnp.round(x_oct).astype(jnp.int32) + rpad
-    cj = jnp.round(y_oct).astype(jnp.int32) + cpad
-    r0 = ((ci - radius) // 8) * 8
-    c0 = ((cj - radius) // 128) * 128
-    row0 = (scale - 1) * hp + r0
-    return row0, r0, c0, x_oct + rpad, y_oct + cpad
+def _lane_prep(
+    fields: PatchFields,
+    scale: jnp.ndarray,
+    x_oct: jnp.ndarray,
+    y_oct: jnp.ndarray,
+    radius: int,
+    frame: Optional[jnp.ndarray],
+    valid: Optional[jnp.ndarray],
+):
+    """DMA window starts + patch-origin coordinates for each lane.
+
+    Returns (row0, c0, u0, v0, valid_i32). row0/c0 are the aligned DMA
+    origin in the flattened field and (u0, v0) is the true patch origin
+    (ci - radius, cj - radius) in padded-slice coordinates. Coordinates
+    of INVALID lanes are clamped to a safe in-range window so garbage
+    slot values can never drive an out-of-bounds DMA."""
+    l = scale.shape[0]
+    if valid is None:
+        valid_i32 = jnp.ones((l,), jnp.int32)
+    else:
+        valid_i32 = valid.astype(jnp.int32)
+    ok = valid_i32 != 0
+    scale = jnp.where(ok, scale, 1)
+    x_oct = jnp.where(ok, x_oct, jnp.float32(radius))
+    y_oct = jnp.where(ok, y_oct, jnp.float32(radius))
+    ci = jnp.round(x_oct).astype(jnp.int32) + fields.rpad
+    cj = jnp.round(y_oct).astype(jnp.int32) + fields.cpad
+    u0 = ci - radius
+    v0 = cj - radius
+    r0 = (u0 // 8) * 8
+    c0 = (v0 // 128) * 128
+    slice_idx = scale - 1
+    if frame is not None:
+        slice_idx = slice_idx + frame * fields.s_per_frame
+    row0 = slice_idx * fields.hp + r0
+    return row0, c0, u0, v0, valid_i32
+
+
+def _compact_window(buf, shift_r, shift_c, comp_rows, dma_rows, dma_cols):
+    """Roll the DMA'd window so the true patch starts at (0, 0), then
+    slice to the [comp_rows, 128] compute window. Rolls use non-negative
+    dynamic shifts (left-roll k == right-roll size-k); wrap pixels land
+    outside the patch coordinate box and are masked by the window tests."""
+    x = pltpu.roll(buf, dma_cols - shift_c, 1)
+    x = pltpu.roll(x, dma_rows - shift_r, 0)
+    return x[:comp_rows, :128]
 
 
 def _descriptor_kernel(
     # scalar prefetch
-    row0_ref, r0_ref, c0_ref, x_ref, y_ref, sig_ref, th_ref,
+    valid_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref, sig_ref,
+    th_ref,
     # inputs
     gi_hbm, gj_hbm,
     # output
@@ -98,7 +205,7 @@ def _descriptor_kernel(
     # scratch
     pgi, pgj, sems,
     *,
-    rows, cols, n_hist, n_ori, lam,
+    dma_rows, dma_cols, comp_rows, n_hist, n_ori, lam,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -110,18 +217,22 @@ def _descriptor_kernel(
         base = pl.multiple_of(row0_ref[l], 8)
         c0 = pl.multiple_of(c0_ref[l], 128)
         return pltpu.make_async_copy(
-            src.at[pl.ds(base, rows), pl.ds(c0, cols)],
+            src.at[pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
             dest.at[sl, u],
             sems.at[sem_bank, sl, u],
         )
 
     def start_group(grp, sl):
+        # Only valid lanes transfer; invalid lanes are skipped entirely.
         for u in range(GROUP):
-            dma(grp, sl, u, gi_hbm, pgi, 0).start()
-            dma(grp, sl, u, gj_hbm, pgj, 1).start()
+            @pl.when(valid_ref[grp * GROUP + u] != 0)
+            def _():
+                dma(grp, sl, u, gi_hbm, pgi, 0).start()
+                dma(grp, sl, u, gj_hbm, pgj, 1).start()
 
     # Double buffering: group g's patches were prefetched by program g-1;
-    # program g prefetches group g+1 while it computes.
+    # EVERY program prefetches group g+1 (per-lane validity inside), so
+    # the chain holds for ragged validity patterns, not just prefixes.
     @pl.when(g == 0)
     def _():
         start_group(0, slot)
@@ -130,106 +241,134 @@ def _descriptor_kernel(
     def _():
         start_group(g + 1, nslot)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(
-        jnp.float32
-    )
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(
-        jnp.float32
-    )
-    half = lam * (n_hist + 1) / n_hist
-    cell = 2.0 * lam / n_hist
+    # Zero the whole block once; valid lanes overwrite below. Keeps the
+    # invalid-lane contract (zeros) with a single unconditional store
+    # instead of per-lane else-branches (Mosaic compile cost).
+    out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    for u in range(GROUP):
-        dma(g, slot, u, gi_hbm, pgi, 0).wait()
-        dma(g, slot, u, gj_hbm, pgj, 1).wait()
-        l = g * GROUP + u
-        gi = pgi[slot, u]
-        gj = pgj[slot, u]
-        sig = sig_ref[l]
-        th = th_ref[l]
-        dm = row_iota + (r0_ref[l].astype(jnp.float32) - x_ref[l])
-        dn = col_iota + (c0_ref[l].astype(jnp.float32) - y_ref[l])
-        ct = jnp.cos(th)
-        st = jnp.sin(th)
-        xr = (ct * dm + st * dn) / sig
-        yr = (-st * dm + ct * dn) / sig
-        inside = (jnp.abs(xr) < half) & (jnp.abs(yr) < half)
-        mag = jnp.sqrt(gi * gi + gj * gj)
-        contrib = (
-            jnp.exp(-(xr * xr + yr * yr) / (2.0 * lam * lam)) * mag * inside
-        )
-        phi = jnp.mod(_atan2(gj, gi) - th, 2.0 * jnp.pi)
+    if True:
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (comp_rows, 128), 0
+        ).astype(jnp.float32)
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (comp_rows, 128), 1
+        ).astype(jnp.float32)
+        half = lam * (n_hist + 1) / n_hist
+        cell = 2.0 * lam / n_hist
 
-        # Pre-weighted orientation maps (wo_k * contrib folded in once).
-        wo_maps = []
-        for k in range(n_ori):
-            ok = k * 2.0 * jnp.pi / n_ori
-            d = jnp.abs(phi - ok)
-            d = jnp.minimum(d, 2.0 * jnp.pi - d)
-            wo_maps.append(
-                contrib * jnp.maximum(0.0, 1.0 - d * (n_ori / (2.0 * jnp.pi)))
-            )
+        for u in range(GROUP):
+            l = g * GROUP + u
 
-        # 16x8 full-map reductions (Mosaic's matmul cannot contract two
-        # dims at once; keepdims sums + concats compile to clean VPU
-        # reduction trees).
-        wa_maps = []
-        wb_maps = []
-        for a in range(n_hist):
-            ca = (a + 1 - (n_hist + 1) / 2.0) * cell
-            wa_maps.append(
-                jnp.maximum(0.0, 1.0 - jnp.abs(xr - ca) / cell)
-            )
-            wb_maps.append(
-                jnp.maximum(0.0, 1.0 - jnp.abs(yr - ca) / cell)
-            )
-        hist_rows = []
-        for a in range(n_hist):
-            for b in range(n_hist):
-                ab_map = wa_maps[a] * wb_maps[b]
-                entries = [
-                    jnp.sum(ab_map * wo_maps[k], keepdims=True)
-                    for k in range(n_ori)
-                ]
-                hist_rows.append(jnp.concatenate(entries, axis=1))  # [1, 8]
-        hist = jnp.concatenate(hist_rows, axis=0)     # [16, 8]
-        padded = jnp.concatenate(
-            [hist, jnp.zeros((n_hist * n_hist, 128 - n_ori), jnp.float32)],
-            axis=1,
-        )
-        out_ref[u * 16:(u + 1) * 16, :] = padded
+            @pl.when(valid_ref[l] != 0)
+            def _():
+                dma(g, slot, u, gi_hbm, pgi, 0).wait()
+                dma(g, slot, u, gj_hbm, pgj, 1).wait()
+                shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
+                shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
+                gi = _compact_window(
+                    pgi[slot, u], shift_r, shift_c, comp_rows, dma_rows,
+                    dma_cols,
+                )
+                gj = _compact_window(
+                    pgj[slot, u], shift_r, shift_c, comp_rows, dma_rows,
+                    dma_cols,
+                )
+                sig = sig_ref[l]
+                th = th_ref[l]
+                dm = row_iota + (u0_ref[l].astype(jnp.float32) - x_ref[l])
+                dn = col_iota + (v0_ref[l].astype(jnp.float32) - y_ref[l])
+                ct = jnp.cos(th)
+                st = jnp.sin(th)
+                xr = (ct * dm + st * dn) / sig
+                yr = (-st * dm + ct * dn) / sig
+                inside = (jnp.abs(xr) < half) & (jnp.abs(yr) < half)
+                mag = jnp.sqrt(gi * gi + gj * gj)
+                contrib = (
+                    jnp.exp(-(xr * xr + yr * yr) / (2.0 * lam * lam))
+                    * mag
+                    * inside
+                )
+                phi = jnp.mod(_atan2(gj, gi) - th, 2.0 * jnp.pi)
+
+                # Pre-weighted orientation maps (wo_k * contrib folded
+                # in once).
+                wo_maps = []
+                for k in range(n_ori):
+                    ok = k * 2.0 * jnp.pi / n_ori
+                    d = jnp.abs(phi - ok)
+                    d = jnp.minimum(d, 2.0 * jnp.pi - d)
+                    wo_maps.append(
+                        contrib
+                        * jnp.maximum(
+                            0.0, 1.0 - d * (n_ori / (2.0 * jnp.pi))
+                        )
+                    )
+
+                # 16x8 full-map reductions (Mosaic's matmul cannot
+                # contract two dims at once; keepdims sums + concats
+                # compile to clean VPU reduction trees).
+                wa_maps = []
+                wb_maps = []
+                for a in range(n_hist):
+                    ca = (a + 1 - (n_hist + 1) / 2.0) * cell
+                    wa_maps.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(xr - ca) / cell)
+                    )
+                    wb_maps.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(yr - ca) / cell)
+                    )
+                hist_rows = []
+                for a in range(n_hist):
+                    for b in range(n_hist):
+                        ab_map = wa_maps[a] * wb_maps[b]
+                        entries = [
+                            jnp.sum(ab_map * wo_maps[k], keepdims=True)
+                            for k in range(n_ori)
+                        ]
+                        hist_rows.append(jnp.concatenate(entries, axis=1))
+                hist = jnp.concatenate(hist_rows, axis=0)     # [16, 8]
+                padded = jnp.concatenate(
+                    [
+                        hist,
+                        jnp.zeros(
+                            (n_hist * n_hist, 128 - n_ori), jnp.float32
+                        ),
+                    ],
+                    axis=1,
+                )
+                out_ref[u * 16:(u + 1) * 16, :] = padded
 
 
 def descriptor_lanes_pallas(
-    gauss: jnp.ndarray,
+    fields: PatchFields,
     scale: jnp.ndarray,
     x_oct: jnp.ndarray,
     y_oct: jnp.ndarray,
     sigma_oct: jnp.ndarray,
     theta: jnp.ndarray,
     config: SiftConfig,
+    valid: Optional[jnp.ndarray] = None,
+    frame: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Raw [L, 128] descriptor histograms (un-normalized) via Pallas."""
-    from ...sift.describe import gradients
+    """Raw [L, 128] descriptor histograms (un-normalized) via Pallas.
 
-    radius = config.desc_patch_radius  # 40 with defaults
-    rows = (2 * radius + 1 + 7 + 7) // 8 * 8           # 88
-    cols = (2 * radius + 1 + 127 + 127) // 128 * 128   # 256
-    rpad = rows - radius                               # >= radius + 8
-    cpad = 256
-
-    gi, gj = gradients(gauss[1:config.n_scales_per_octave + 1])
-    gi_f, gj_f, hp, wp = _pad_fields(gi, gj, rpad, cpad)
+    ``fields`` comes from :func:`prepare_patch_fields` (shared with the
+    orientation stage). ``valid`` (dynamic, per lane) gates DMA+compute;
+    invalid lanes return zeros. ``frame`` gives each lane's frame index
+    when fields are batched."""
+    radius = config.desc_patch_radius
+    dma_rows, dma_cols = _desc_geometry(config)
+    comp_rows = (2 * radius + 1 + 7) // 8 * 8
 
     l = scale.shape[0]
     assert l % GROUP == 0, l
-    row0, r0, c0, xp, yp = _lane_prep(
-        scale, x_oct, y_oct, rpad, cpad, hp, radius
+    row0, c0, u0, v0, valid_i32 = _lane_prep(
+        fields, scale, x_oct, y_oct, radius, frame, valid
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=9,
         grid=(l // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -241,16 +380,17 @@ def descriptor_lanes_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
-            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
+            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
+            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, GROUP)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
             _descriptor_kernel,
-            rows=rows,
-            cols=cols,
+            dma_rows=dma_rows,
+            dma_cols=dma_cols,
+            comp_rows=comp_rows,
             n_hist=config.n_histograms_per_axis,
             n_ori=config.n_descriptor_bins,
             lam=config.descriptor_lambda,
@@ -258,7 +398,11 @@ def descriptor_lanes_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l * 16, 128), jnp.float32),
         interpret=interpret,
-    )(row0, r0, c0, xp, yp, sigma_oct, theta, gi_f, gj_f)
+    )(
+        valid_i32, row0, c0, u0, v0,
+        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
+        fields.gi, fields.gj,
+    )
     # [L*16, 128] -> [L, 16, 8] -> [L, 128]
     return out.reshape(l, 16, 128)[:, :, :config.n_descriptor_bins].reshape(
         l, -1
@@ -266,12 +410,12 @@ def descriptor_lanes_pallas(
 
 
 def _orientation_kernel(
-    row0_ref, r0_ref, c0_ref, x_ref, y_ref, sig_ref,
+    valid_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref, sig_ref,
     gi_hbm, gj_hbm,
     out_ref,
     pgi, pgj, sems,
     *,
-    rows, cols, n_bins, lam,
+    dma_rows, dma_cols, comp_rows, n_bins, lam,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -283,15 +427,17 @@ def _orientation_kernel(
         base = pl.multiple_of(row0_ref[l], 8)
         c0 = pl.multiple_of(c0_ref[l], 128)
         return pltpu.make_async_copy(
-            src.at[pl.ds(base, rows), pl.ds(c0, cols)],
+            src.at[pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
             dest.at[sl, u],
             sems.at[sem_bank, sl, u],
         )
 
     def start_group(grp, sl):
         for u in range(GROUP):
-            dma(grp, sl, u, gi_hbm, pgi, 0).start()
-            dma(grp, sl, u, gj_hbm, pgj, 1).start()
+            @pl.when(valid_ref[grp * GROUP + u] != 0)
+            def _():
+                dma(grp, sl, u, gi_hbm, pgi, 0).start()
+                dma(grp, sl, u, gj_hbm, pgj, 1).start()
 
     @pl.when(g == 0)
     def _():
@@ -301,76 +447,87 @@ def _orientation_kernel(
     def _():
         start_group(g + 1, nslot)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).astype(
-        jnp.float32
-    )
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1).astype(
-        jnp.float32
-    )
+    out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    for u in range(GROUP):
-        dma(g, slot, u, gi_hbm, pgi, 0).wait()
-        dma(g, slot, u, gj_hbm, pgj, 1).wait()
-        l = g * GROUP + u
-        gi = pgi[slot, u]
-        gj = pgj[slot, u]
-        sig = sig_ref[l]
-        dm = row_iota + (r0_ref[l].astype(jnp.float32) - x_ref[l])
-        dn = col_iota + (c0_ref[l].astype(jnp.float32) - y_ref[l])
-        r_max = 3.0 * lam * sig
-        inside = (jnp.abs(dm) <= r_max) & (jnp.abs(dn) <= r_max)
-        mag = jnp.sqrt(gi * gi + gj * gj)
-        w = (
-            jnp.exp(-(dm * dm + dn * dn) / (2.0 * (lam * sig) ** 2))
-            * mag
-            * inside
-        )
-        thetab = jnp.mod(_atan2(gj, gi), 2.0 * jnp.pi) * (
-            n_bins / (2.0 * jnp.pi)
-        )
-        b = jnp.mod(jnp.round(thetab), float(n_bins))
+    if True:
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (comp_rows, 128), 0
+        ).astype(jnp.float32)
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (comp_rows, 128), 1
+        ).astype(jnp.float32)
 
-        # 36 one-hot-masked full-map sums -> one [1, 36] row.
-        entries = [
-            jnp.sum(jnp.where(b == float(k), w, 0.0), keepdims=True)
-            for k in range(n_bins)
-        ]
-        hist = jnp.concatenate(entries, axis=1)       # [1, 36]
-        padded = jnp.concatenate(
-            [hist, jnp.zeros((1, 128 - n_bins), jnp.float32)], axis=1
-        )
-        out_ref[u:u + 1, :] = padded
+        for u in range(GROUP):
+            l = g * GROUP + u
+
+            @pl.when(valid_ref[l] != 0)
+            def _():
+                dma(g, slot, u, gi_hbm, pgi, 0).wait()
+                dma(g, slot, u, gj_hbm, pgj, 1).wait()
+                shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
+                shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
+                gi = _compact_window(
+                    pgi[slot, u], shift_r, shift_c, comp_rows, dma_rows,
+                    dma_cols,
+                )
+                gj = _compact_window(
+                    pgj[slot, u], shift_r, shift_c, comp_rows, dma_rows,
+                    dma_cols,
+                )
+                sig = sig_ref[l]
+                dm = row_iota + (u0_ref[l].astype(jnp.float32) - x_ref[l])
+                dn = col_iota + (v0_ref[l].astype(jnp.float32) - y_ref[l])
+                r_max = 3.0 * lam * sig
+                inside = (jnp.abs(dm) <= r_max) & (jnp.abs(dn) <= r_max)
+                mag = jnp.sqrt(gi * gi + gj * gj)
+                w = (
+                    jnp.exp(-(dm * dm + dn * dn) / (2.0 * (lam * sig) ** 2))
+                    * mag
+                    * inside
+                )
+                thetab = jnp.mod(_atan2(gj, gi), 2.0 * jnp.pi) * (
+                    n_bins / (2.0 * jnp.pi)
+                )
+                b = jnp.mod(jnp.round(thetab), float(n_bins))
+
+                # n_bins one-hot-masked full-map sums -> one [1, n] row.
+                entries = [
+                    jnp.sum(jnp.where(b == float(k), w, 0.0), keepdims=True)
+                    for k in range(n_bins)
+                ]
+                hist = jnp.concatenate(entries, axis=1)
+                padded = jnp.concatenate(
+                    [hist, jnp.zeros((1, 128 - n_bins), jnp.float32)],
+                    axis=1,
+                )
+                out_ref[u:u + 1, :] = padded
 
 
 def orientation_hist_lanes_pallas(
-    gauss: jnp.ndarray,
+    fields: PatchFields,
     scale: jnp.ndarray,
     x_oct: jnp.ndarray,
     y_oct: jnp.ndarray,
     sigma_oct: jnp.ndarray,
     config: SiftConfig,
+    valid: Optional[jnp.ndarray] = None,
+    frame: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Raw (un-smoothed) [L, n_bins] orientation histograms via Pallas."""
-    from ...sift.describe import gradients
-
-    radius = config.ori_patch_radius   # 18 with defaults
-    rows = (2 * radius + 1 + 7 + 7) // 8 * 8           # 48
-    cols = 256
-    rpad = rows - radius
-    cpad = 256
-
-    gi, gj = gradients(gauss[1:config.n_scales_per_octave + 1])
-    gi_f, gj_f, hp, wp = _pad_fields(gi, gj, rpad, cpad)
+    """Raw (un-smoothed) [L, n_bins] orientation histograms via Pallas.
+    Same fields/valid/frame contract as :func:`descriptor_lanes_pallas`."""
+    radius = config.ori_patch_radius
+    dma_rows, dma_cols = _ori_geometry(config)
+    comp_rows = (2 * radius + 1 + 7) // 8 * 8
 
     l = scale.shape[0]
     assert l % GROUP == 0, l
-    row0, r0, c0, xp, yp = _lane_prep(
-        scale, x_oct, y_oct, rpad, cpad, hp, radius
+    row0, c0, u0, v0, valid_i32 = _lane_prep(
+        fields, scale, x_oct, y_oct, radius, frame, valid
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(l // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -380,21 +537,26 @@ def orientation_hist_lanes_pallas(
             (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
-            pltpu.VMEM((2, GROUP, rows, cols), jnp.float32),
+            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
+            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2, GROUP)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
             _orientation_kernel,
-            rows=rows,
-            cols=cols,
+            dma_rows=dma_rows,
+            dma_cols=dma_cols,
+            comp_rows=comp_rows,
             n_bins=config.n_orientation_bins,
             lam=config.orientation_lambda,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
         interpret=interpret,
-    )(row0, r0, c0, xp, yp, sigma_oct, gi_f, gj_f)
+    )(
+        valid_i32, row0, c0, u0, v0,
+        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
+        fields.gi, fields.gj,
+    )
     return out[:, :config.n_orientation_bins]

@@ -47,15 +47,21 @@ def make_batch_extractor(
     )
     sharding = NamedSharding(mesh, P(axis))
 
-    @partial(jax.jit, in_shardings=(sharding,), out_shardings=sharding)
-    def run(frames: jnp.ndarray):
-        # lax.map (not vmap): same per-frame cost on TPU, and the Pallas
-        # patch kernels don't batch under vmap. Each device maps over its
-        # own shard of the frame axis.
-        return jax.lax.map(
-            lambda g: extract_gray(g, config, n_oct), frames
-        )
+    from ..sift.batched import extract_gray_batch
 
+    # shard_map (not jit+in_shardings): each device runs the batched
+    # pipeline (vmapped XLA stages + frame-flattened Pallas kernels) on
+    # its LOCAL shard of the frame axis — the Pallas calls stay
+    # single-device programs instead of asking GSPMD to partition them.
+    run = jax.jit(
+        jax.shard_map(
+            lambda frames: extract_gray_batch(frames, config, n_oct),
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
     return run
 
 

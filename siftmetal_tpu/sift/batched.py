@@ -1,0 +1,229 @@
+"""Batched (multi-frame) SIFT extraction: ONE XLA program over [B, H, W].
+
+Round-1 batching used ``lax.map`` over frames — sequential, so per-frame
+cost was flat with batch (VERDICT r1 #3). This module batches every stage
+for real:
+
+  * pyramid + detection + compaction are pure jnp -> ``vmap`` over frames
+    (the small octaves and fixed per-op overheads amortize across the
+    batch);
+  * the Pallas patch kernels take ALL frames' lanes in one call: gradient
+    fields of the whole batch are concatenated along the row axis and each
+    lane carries its frame index (ops/pallas/patches.py), so the DMA
+    pipeline stays full across frame boundaries and per-lane validity
+    skip applies across the whole batch.
+
+Per-frame counters come back with a leading [B] axis. Output equality
+with the single-frame path is asserted by tests/test_parallel.py.
+
+Reference: the Swift implementation is strictly one-image-at-a-time
+(/root/reference Sources/SIFTMetal/SIFT/SIFT.swift:147); batch is the
+natural TPU data-parallel axis (SURVEY.md §2c, §7).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SiftConfig
+from .pyramid import seed_image
+from ..ops.gaussian import blur
+from ..ops.image import decimate_2x
+from . import detect as _detect
+from . import describe as _describe
+from .detect import Keypoints
+from .extract import Descriptors
+
+
+def build_pyramid_batch(
+    gray: jnp.ndarray, config: SiftConfig, n_octaves: int
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """[B, H, W] -> per-octave ([B, S, h, w] gaussians, [B, S-1, h, w]
+    DoGs). Same math as pyramid.build_pyramid (all ops are leading-axis
+    polymorphic); scale stacks sit on axis 1."""
+    h, w = gray.shape[-2], gray.shape[-1]
+    shapes = config.octave_shapes(h, w, n_octaves)
+    gaussians: List[jnp.ndarray] = []
+    dogs: List[jnp.ndarray] = []
+    first = seed_image(gray, config)
+    for o in range(n_octaves):
+        if o > 0:
+            prev = gaussians[o - 1][:, config.n_scales_per_octave]
+            first = decimate_2x(prev, shapes[o])
+        slices = [first]
+        for rho in config.incremental_sigmas(o):
+            slices.append(blur(slices[-1], rho))
+        stack = jnp.stack(slices, axis=1)
+        gaussians.append(stack)
+        dogs.append(stack[:, 1:] - stack[:, :-1])
+    return gaussians, dogs
+
+
+def extract_gray_batch(
+    grays: jnp.ndarray,
+    config: SiftConfig,
+    n_octaves: int,
+) -> Tuple[Keypoints, Descriptors, Dict[str, jnp.ndarray]]:
+    """Full SIFT on a [B, H, W] grayscale batch. Returns batched pytrees
+    (leading [B] on every array) and per-frame counters."""
+    b = grays.shape[0]
+    use_pallas = _describe._use_pallas(config)
+
+    with jax.named_scope("sift_pyramid"):
+        gaussians, dogs = build_pyramid_batch(grays, config, n_octaves)
+
+    per_octave = []
+    counters: Dict[str, jnp.ndarray] = {}
+    with jax.named_scope("sift_detect"):
+        for o in range(n_octaves):
+            kp_b, ctr = jax.vmap(
+                lambda d, o=o: _detect.detect_octave(d, o, config)
+            )(dogs[o])
+            per_octave.append(kp_b)
+            for key, v in ctr.items():
+                counters[key] = counters.get(key, 0) + v
+
+    kp_list, desc_rows = [], []
+    lane_overflow = jnp.zeros((b,), jnp.int32)
+    for o in range(n_octaves):
+        h, w = dogs[o].shape[-2], dogs[o].shape[-1]
+        budget = _detect.keypoint_budget(config, (h, w), o)
+        kpc, kp_dropped = jax.vmap(
+            lambda kp, o=o, budget=budget: _detect.compact_octave_keypoints(
+                kp, o, config, budget
+            )
+        )(per_octave[o])
+        lane_overflow = lane_overflow + kp_dropped
+
+        if use_pallas:
+            from ..ops.pallas.patches import prepare_patch_fields
+
+            fields = prepare_patch_fields(gaussians[o], config)
+            frame_kp = jnp.repeat(jnp.arange(b, dtype=jnp.int32), budget)
+            flat = lambda a: a.reshape(b * budget)
+            with jax.named_scope(f"sift_orientation_o{o}"):
+                from ..ops.pallas.patches import orientation_hist_lanes_pallas
+
+                hist = orientation_hist_lanes_pallas(
+                    fields,
+                    flat(kpc.scale),
+                    flat(kpc.x_oct),
+                    flat(kpc.y_oct),
+                    flat(kpc.sigma_oct),
+                    config,
+                    valid=flat(kpc.valid),
+                    frame=frame_kp,
+                ).reshape(b, budget, -1)
+        else:
+            fields = None
+            with jax.named_scope(f"sift_orientation_o{o}"):
+                hist = jax.vmap(
+                    lambda g, kp: _describe.orientation_hists_xla(
+                        g, kp.scale, kp.x_oct, kp.y_oct, kp.sigma_oct, config
+                    )
+                )(gaussians[o], kpc)
+
+        hist = _describe._smooth_circular(
+            hist, config.orientation_smoothing_iterations
+        )
+        theta, ori_valid = _describe.orientation_peaks(hist, config)
+        ori_valid = ori_valid & kpc.valid[:, :, None]
+
+        # Compact (keypoint, orientation) lanes per frame before the
+        # descriptor stage (same budget math as the single-frame path).
+        m = theta.shape[-1]
+        lane_valid = ori_valid.reshape(b, budget * m)
+        n_lanes = (budget * 3 // 2 + 127) // 128 * 128
+        order, count, dropped = jax.vmap(
+            lambda v: _detect.compact_indices(v, n_lanes)
+        )(lane_valid)
+        slot_valid = jnp.arange(n_lanes)[None, :] < count[:, None]
+        lane_overflow = lane_overflow + dropped
+
+        rep = lambda a: jnp.take_along_axis(
+            jnp.repeat(a, m, axis=1), order, axis=1
+        )
+        theta_l = jnp.take_along_axis(
+            theta.reshape(b, budget * m), order, axis=1
+        )
+        with jax.named_scope(f"sift_descriptors_o{o}"):
+            if use_pallas:
+                from ..ops.pallas.patches import descriptor_lanes_pallas
+
+                frame_ln = jnp.repeat(
+                    jnp.arange(b, dtype=jnp.int32), n_lanes
+                )
+                flatl = lambda a: a.reshape(b * n_lanes)
+                raw = descriptor_lanes_pallas(
+                    fields,
+                    flatl(rep(kpc.scale)),
+                    flatl(rep(kpc.x_oct)),
+                    flatl(rep(kpc.y_oct)),
+                    flatl(rep(kpc.sigma_oct)),
+                    flatl(theta_l),
+                    config,
+                    valid=flatl(slot_valid),
+                    frame=frame_ln,
+                )
+                feats = _describe.quantize_descriptors(raw, config).reshape(
+                    b, n_lanes, -1
+                )
+            else:
+                feats = jax.vmap(
+                    lambda g, sc, x, y, sg, th: _describe.descriptor_lanes(
+                        g, sc, x, y, sg, th, config
+                    )
+                )(
+                    gaussians[o],
+                    rep(kpc.scale),
+                    rep(kpc.x_oct),
+                    rep(kpc.y_oct),
+                    rep(kpc.sigma_oct),
+                    theta_l,
+                )
+
+        desc_rows.append(
+            dict(
+                valid=slot_valid,
+                octave=jnp.full((b, n_lanes), o, dtype=jnp.int32),
+                x=rep(kpc.x),
+                y=rep(kpc.y),
+                sigma=rep(kpc.sigma),
+                theta=theta_l,
+                features=feats,
+            )
+        )
+        kp_list.append(per_octave[o])
+
+    keypoints, kp_dropped_global = jax.vmap(
+        lambda *kps: _detect.gather_keypoints(kps, config)
+    )(*kp_list)
+
+    n = config.max_descriptors
+    valid = jnp.concatenate([r["valid"] for r in desc_rows], axis=1)
+    order, count, desc_dropped = jax.vmap(
+        lambda v: _detect.compact_indices(v, n)
+    )(valid)
+
+    def take(field):
+        cat = jnp.concatenate([r[field] for r in desc_rows], axis=1)
+        if cat.ndim == 2:
+            return jnp.take_along_axis(cat, order, axis=1)
+        return jnp.take_along_axis(cat, order[:, :, None], axis=1)
+
+    descriptors = Descriptors(
+        valid=jnp.arange(n)[None, :] < count[:, None],
+        octave=take("octave"),
+        x=take("x"),
+        y=take("y"),
+        sigma=take("sigma"),
+        theta=take("theta"),
+        features=take("features"),
+    )
+    counters["n_descriptors"] = count
+    counters["descriptor_overflow"] = desc_dropped + lane_overflow
+    counters["keypoint_overflow"] = kp_dropped_global
+    return keypoints, descriptors, counters

@@ -64,6 +64,7 @@ def extract_gray(
     with jax.named_scope("sift_detect"):
         per_octave, counters = _detect.detect(dogs, config)
 
+    use_pallas = _describe._use_pallas(config)
     kp_list, desc_rows = [], []
     lane_overflow = jnp.int32(0)
     for o in range(n_octaves):
@@ -73,8 +74,19 @@ def extract_gray(
             per_octave[o], o, config, budget
         )
         lane_overflow = lane_overflow + kp_dropped
+        # Gradient fields are padded once per octave and shared by the
+        # orientation and descriptor kernels (descriptor geometry covers
+        # both patch sizes).
+        if use_pallas:
+            from ..ops.pallas.patches import prepare_patch_fields
+
+            fields = prepare_patch_fields(gaussians[o], config)
+        else:
+            fields = None
         with jax.named_scope(f"sift_orientation_o{o}"):
-            ori = _describe.orientations_octave(gaussians[o], kpc, config)
+            ori = _describe.orientations_octave(
+                gaussians[o], kpc, config, fields=fields
+            )
 
         # Compact (keypoint, orientation) lanes BEFORE the descriptor stage:
         # most of the [K, MAX_ORI] grid is invalid (typical orientation
@@ -98,6 +110,8 @@ def extract_gray(
                 rep(kpc.sigma_oct),
                 ori.theta.reshape(-1)[order],
                 config,
+                fields=fields,
+                valid=slot_valid,
             )
         desc_rows.append(
             dict(
@@ -180,12 +194,13 @@ class SIFT:
         self._extract = jax.jit(
             lambda g: extract_gray(g, self.config, self.n_octaves)
         )
-        # lax.map rather than vmap: per-frame cost is identical on TPU
-        # (measured), and the Pallas patch kernels don't batch under vmap.
+        # Genuinely batched: vmapped XLA stages + frame-flattened Pallas
+        # patch kernels (sift/batched.py) — per-frame cost DROPS with
+        # batch, unlike the r1 lax.map which ran frames sequentially.
+        from .batched import extract_gray_batch
+
         self._extract_batch = jax.jit(
-            lambda gs: jax.lax.map(
-                lambda g: extract_gray(g, self.config, self.n_octaves), gs
-            )
+            lambda gs: extract_gray_batch(gs, self.config, self.n_octaves)
         )
 
     def extract(self, image):

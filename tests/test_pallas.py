@@ -32,13 +32,15 @@ def test_blur_stack_pallas():
 
 def test_patch_kernels_match_xla_describe():
     """Orientation/descriptor Pallas kernels (interpret mode) vs the XLA
-    chunked-vmap reference path on a synthetic octave."""
+    chunked-vmap reference path on a synthetic octave; also exercises the
+    dynamic count skip (lanes past the count must come back zero)."""
     import jax
     from functools import partial
     from siftmetal_tpu.config import SiftConfig
     from siftmetal_tpu.ops.pallas.patches import (
         descriptor_lanes_pallas,
         orientation_hist_lanes_pallas,
+        prepare_patch_fields,
     )
     from siftmetal_tpu.sift import describe as DS
 
@@ -48,12 +50,13 @@ def test_patch_kernels_match_xla_describe():
     h, w = 96, 160
     gauss = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
 
-    L = 8
+    L = 16
     scale = jnp.asarray(rng.integers(1, cfg.n_scales_per_octave + 1, L).astype(np.int32))
     x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
     y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
     sig = jnp.asarray(rng.uniform(1.7, 3.6, L).astype(np.float32))
     theta = jnp.asarray(rng.uniform(-3, 3, L).astype(np.float32))
+    fields = prepare_patch_fields(gauss, cfg)
 
     # XLA reference: raw orientation histograms.
     r = cfg.ori_patch_radius
@@ -69,22 +72,105 @@ def test_patch_kernels_match_xla_describe():
         )
     )(scale, x_oct, y_oct, sig)
     hist_pal = orientation_hist_lanes_pallas(
-        gauss, scale, x_oct, y_oct, sig, cfg, interpret=True
+        fields, scale, x_oct, y_oct, sig, cfg, interpret=True
     )
     ref = np.asarray(hist_ref)
     got = np.asarray(hist_pal)
     denom = np.abs(ref).max(axis=1, keepdims=True) + 1e-9
     assert (np.abs(ref - got) / denom).max() < 5e-3
 
+    # Dynamic count skip: lanes past the count are zeroed, lanes before
+    # it match the full run.
+    lane_valid = jnp.arange(L) < 8
+    hist_cnt = np.asarray(
+        orientation_hist_lanes_pallas(
+            fields, scale, x_oct, y_oct, sig, cfg,
+            valid=lane_valid, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(hist_cnt[:8], got[:8], rtol=1e-6)
+    assert np.all(hist_cnt[8:] == 0.0)
+
     # Descriptors: compare raw histograms via the quantized outputs.
     d_ref = np.asarray(
         DS.descriptor_lanes(gauss, scale, x_oct, y_oct, sig, theta, cfg)
     ).astype(np.int32)
     raw_pal = descriptor_lanes_pallas(
-        gauss, scale, x_oct, y_oct, sig, theta, cfg, interpret=True
+        fields, scale, x_oct, y_oct, sig, theta, cfg, interpret=True
     )
     d_pal = np.asarray(DS.quantize_descriptors(raw_pal, cfg)).astype(np.int32)
     assert np.abs(d_ref - d_pal).max() <= 1
+
+    # Ragged (non-prefix) validity must also work: the FIRST group is
+    # inactive, so the second group's prefetch comes from an inactive
+    # predecessor (exercises the every-group-prefetches-next chain).
+    ragged = jnp.asarray(np.array([False] * 8 + [True] * 8))
+    raw_cnt = np.asarray(
+        descriptor_lanes_pallas(
+            fields, scale, x_oct, y_oct, sig, theta, cfg,
+            valid=ragged, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(raw_cnt[8:], np.asarray(raw_pal)[8:], rtol=1e-6)
+    assert np.all(raw_cnt[:8] == 0.0)
+
+
+def test_patch_kernels_batched_frames():
+    """Batched fields ([B, S, H, W] + per-lane frame index) must match
+    per-frame calls."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.patches import (
+        descriptor_lanes_pallas,
+        orientation_hist_lanes_pallas,
+        prepare_patch_fields,
+    )
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(3)
+    s = cfg.n_gaussians_per_octave
+    b, h, w = 2, 96, 160
+    gauss = jnp.asarray(rng.uniform(0, 1, (b, s, h, w)).astype(np.float32))
+
+    L = 8  # lanes per frame
+    scale = jnp.asarray(
+        rng.integers(1, cfg.n_scales_per_octave + 1, b * L).astype(np.int32)
+    )
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, b * L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, b * L).astype(np.float32))
+    sig = jnp.asarray(rng.uniform(1.7, 3.6, b * L).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, b * L).astype(np.float32))
+    frame = jnp.repeat(jnp.arange(b, dtype=jnp.int32), L)
+
+    fields_b = prepare_patch_fields(gauss, cfg)
+    got_o = np.asarray(
+        orientation_hist_lanes_pallas(
+            fields_b, scale, x_oct, y_oct, sig, cfg,
+            frame=frame, interpret=True,
+        )
+    )
+    got_d = np.asarray(
+        descriptor_lanes_pallas(
+            fields_b, scale, x_oct, y_oct, sig, theta, cfg,
+            frame=frame, interpret=True,
+        )
+    )
+    for i in range(b):
+        fields_i = prepare_patch_fields(gauss[i], cfg)
+        sl = slice(i * L, (i + 1) * L)
+        ref_o = np.asarray(
+            orientation_hist_lanes_pallas(
+                fields_i, scale[sl], x_oct[sl], y_oct[sl], sig[sl], cfg,
+                interpret=True,
+            )
+        )
+        ref_d = np.asarray(
+            descriptor_lanes_pallas(
+                fields_i, scale[sl], x_oct[sl], y_oct[sl], sig[sl],
+                theta[sl], cfg, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got_o[sl], ref_o, rtol=1e-6)
+        np.testing.assert_allclose(got_d[sl], ref_d, rtol=1e-6)
 
 
 def test_octave_cascade_matches_sequential():
