@@ -290,12 +290,27 @@ class SfmMap:
         )
         return True, n_in, len(seln)
 
-    def bundle_adjust(self, fixed_cameras: int = 1):
-        """Global BA over the current map (jit-compiled per (C,L,O) fill
-        sizes rounded up to static budgets)."""
+    def bundle_adjust(self, fixed_cameras: int = 1, window: Optional[int] = None):
+        """Bundle adjustment over the current map (jit-compiled per
+        (C,L,O) fill sizes rounded up to static budgets).
+
+        ``window=k`` selects sliding-window LOCAL BA: only the last k
+        keyframes move (all earlier cameras are held fixed) and only
+        observations of landmarks seen by at least one window camera
+        participate — constraints from fixed cameras on those shared
+        landmarks are kept, landmarks seen only by fixed cameras stay
+        exactly put. This bounds per-call cost for long sequences (the
+        global dense [6C,6C] solve is O(C^3))."""
         c = self.config
         valid = np.zeros(c.max_observations, dtype=bool)
         valid[: self.n_obs] = True
+        if window is not None:
+            first_free = max(fixed_cameras, self.n_cameras - window)
+            fixed_cameras = first_free
+            in_window = self.obs_cam[: self.n_obs] >= first_free
+            lm_in_window = np.zeros(c.max_landmarks, dtype=bool)
+            lm_in_window[self.obs_lm[: self.n_obs][in_window]] = True
+            valid[: self.n_obs] &= lm_in_window[self.obs_lm[: self.n_obs]]
         problem = BAProblem(
             cameras=jnp.asarray(self.cameras),
             landmarks=jnp.asarray(self.landmarks),

@@ -98,6 +98,33 @@ def test_add_frame_rejects_tracking_failure(synthetic_sequence):
     assert ok and n_in > 100
 
 
+def test_local_window_ba(synthetic_sequence):
+    """Sliding-window BA: only the last `window` cameras move; earlier
+    cameras are bit-identical before/after; corrupted window poses are
+    repaired."""
+    cams_gt, lms_gt, frames = synthetic_sequence
+    smap = SfmMap(K, SfmConfig(max_cameras=8))
+    smap.initialize(frames[0], frames[1])
+    for f in frames[2:]:
+        ok, _, _ = smap.add_frame(f)
+        assert ok
+    smap.bundle_adjust(fixed_cameras=1)
+    rms0 = smap.reprojection_rms()
+
+    frozen = smap.cameras[: smap.n_cameras - 2].copy()
+    rng = np.random.default_rng(5)
+    smap.cameras[smap.n_cameras - 2 : smap.n_cameras] += rng.normal(
+        0, 0.01, (2, 6)
+    ).astype(np.float32)
+    assert smap.reprojection_rms() > 2 * rms0
+
+    smap.bundle_adjust(window=2)
+    np.testing.assert_array_equal(
+        smap.cameras[: smap.n_cameras - 2], frozen
+    )
+    assert smap.reprojection_rms() < 1.5 * rms0
+
+
 def test_umeyama_exact():
     rng = np.random.default_rng(3)
     src = rng.normal(0, 1, (50, 3))

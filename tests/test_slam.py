@@ -212,3 +212,88 @@ def test_pnp_ransac_recovers_pose():
     assert inl[:30].mean() < 0.05
     cam = np.asarray(res.model)
     assert np.abs(cam - cam_true).max() < 5e-3, cam - cam_true
+
+
+def test_ba_scales_to_mapping_size():
+    """256 cameras / 65,536 landmarks / ~200k observations on one device:
+    the grouped Schur path must run without materializing any
+    O(L*C)-sized tensor (the r1 dense coupling would want
+    256*65536*18*4 bytes = 1.2 GB for W alone, plus einsum transients;
+    VERDICT r1 #5). Convergence on a clean synthetic problem is asserted
+    loosely (few iterations — this is a capacity test)."""
+    from siftmetal_tpu.slam.camera import project
+
+    rng = np.random.default_rng(0)
+    n_cam, n_lm, deg = 256, 65536, 3
+    k = np.array([[400, 0, 320], [0, 400, 240], [0, 0, 1]], np.float32)
+    lms = rng.uniform([-8, -8, 6], [8, 8, 30], (n_lm, 3)).astype(np.float32)
+    cams = np.zeros((n_cam, 6), np.float32)
+    cams[:, 3] = np.linspace(-4, 4, n_cam)
+    cams[:, 1] = np.linspace(0, 0.2, n_cam)
+
+    # Each landmark observed by `deg` consecutive cameras.
+    first = rng.integers(0, n_cam - deg, n_lm)
+    cam_idx = (first[:, None] + np.arange(deg)[None, :]).reshape(-1)
+    lm_idx = np.repeat(np.arange(n_lm), deg)
+    uv = np.asarray(
+        jax.vmap(
+            lambda c, l: project(
+                jnp.asarray(cams)[c], jnp.asarray(k), jnp.asarray(lms)[l]
+            )
+        )(jnp.asarray(cam_idx.astype(np.int32)),
+          jnp.asarray(lm_idx.astype(np.int32)))
+    )
+    noisy_cams = cams + rng.normal(0, 0.002, cams.shape).astype(np.float32)
+    noisy_cams[:2] = cams[:2]
+    noisy_lms = lms + rng.normal(0, 0.01, lms.shape).astype(np.float32)
+    problem = BAProblem(
+        cameras=jnp.asarray(noisy_cams),
+        landmarks=jnp.asarray(noisy_lms),
+        k=jnp.asarray(k),
+        cam_idx=jnp.asarray(cam_idx.astype(np.int32)),
+        lm_idx=jnp.asarray(lm_idx.astype(np.int32)),
+        uv=jnp.asarray(uv),
+        valid=jnp.ones(len(cam_idx), bool),
+        fixed_cameras=2,
+    )
+    out, stats = jax.jit(
+        lambda p: bundle_adjust(
+            p, n_iterations=3, damping=1e-4, max_obs_per_landmark=4
+        )
+    )(problem)
+    assert int(stats.obs_dropped) == 0
+    assert float(stats.final_cost) < 0.5 * float(stats.initial_cost)
+
+
+def test_ba_counts_dropped_observations():
+    """Landmarks with degree > max_obs_per_landmark must DROP and COUNT."""
+    from siftmetal_tpu.slam.camera import project
+
+    rng = np.random.default_rng(1)
+    n_cam, n_lm = 6, 8
+    k = np.array([[100, 0, 32], [0, 100, 24], [0, 0, 1]], np.float32)
+    lms = rng.uniform([-1, -1, 4], [1, 1, 8], (n_lm, 3)).astype(np.float32)
+    cams = np.zeros((n_cam, 6), np.float32)
+    cams[:, 3] = np.linspace(0, 0.5, n_cam)
+    cam_idx = np.tile(np.arange(n_cam), n_lm).astype(np.int32)
+    lm_idx = np.repeat(np.arange(n_lm), n_cam).astype(np.int32)
+    uv = np.asarray(
+        jax.vmap(
+            lambda c, l: project(
+                jnp.asarray(cams)[c], jnp.asarray(k), jnp.asarray(lms)[l]
+            )
+        )(jnp.asarray(cam_idx), jnp.asarray(lm_idx))
+    )
+    problem = BAProblem(
+        cameras=jnp.asarray(cams + 0.01),
+        landmarks=jnp.asarray(lms),
+        k=jnp.asarray(k),
+        cam_idx=jnp.asarray(cam_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv),
+        valid=jnp.ones(len(cam_idx), bool),
+        fixed_cameras=1,
+    )
+    # degree 6 > M=4: 2 dropped per landmark.
+    _, stats = bundle_adjust(problem, n_iterations=1, max_obs_per_landmark=4)
+    assert int(stats.obs_dropped) == n_lm * 2
