@@ -41,6 +41,10 @@ def initialize(
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return 0, 1
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=addr,
         num_processes=num_processes,
@@ -49,16 +53,26 @@ def initialize(
     return jax.process_index(), jax.process_count()
 
 
-def barrier(name: str = "barrier") -> None:
+def barrier(name: str = "barrier") -> float:
     """Device-level barrier across all hosts: a tiny psum over every
-    device must complete everywhere before anyone proceeds."""
+    device must complete everywhere before anyone proceeds.
+
+    The input is a GLOBAL array assembled from each process's local
+    shard (``make_array_from_process_local_data``) — a plain ``jnp.ones``
+    would be host-local and rejected by the global mesh under true
+    multi-process SPMD. Returns the psum result (= global device count)
+    so callers/tests can assert every host participated."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
     import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devs = np.array(jax.devices())
     mesh = Mesh(devs, ("all",))
+    sharding = NamedSharding(mesh, P("all"))
+    local = np.ones((jax.local_device_count(),), np.float32)
+    garr = jax.make_array_from_process_local_data(
+        sharding, local, (len(devs),)
+    )
     out = jax.jit(
         jax.shard_map(
             lambda x: jax.lax.psum(x, "all"),
@@ -67,9 +81,10 @@ def barrier(name: str = "barrier") -> None:
             out_specs=P(),
             check_vma=False,
         )
-    )(jnp.ones((len(devs),), jnp.float32))
+    )(garr)
     jax.block_until_ready(out)
     logger.debug("barrier %s passed (%d devices)", name, len(devs))
+    return float(np.asarray(out))
 
 
 def run_elastic(

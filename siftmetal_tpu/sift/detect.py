@@ -166,10 +166,14 @@ def masked_nonzero(
     """Indices of True entries of a flat bool mask, padded to ``size``.
 
     ``jnp.nonzero(size=...)`` lowers to a full sort on TPU — 44 ms for one
-    3.7M-element DoG mask (measured, v5e). This sort-free version runs
-    top_k within fixed blocks (at most ``slots`` hits per ``block``
-    elements — ~3% density vs ~0.1% real extrema density) and then
-    compacts the [n_blocks, slots] survivors, which is 32x smaller.
+    3.7M-element DoG mask (measured, v5e). This SORT-FREE version finds at
+    most ``slots`` hits per ``block`` elements (~3% density budget vs
+    ~0.1% real extrema density) by pure rank arithmetic: a within-block
+    cumsum ranks every True entry, the s-th hit of each block is located
+    with one masked argmax per slot, and the [n_blocks, slots] survivors
+    (32x smaller) are compacted exactly. The earlier blocked-``top_k``
+    variant cost ~6 ms/frame batched at 640x480 (top_k lowers to a sort);
+    this formulation is a handful of elementwise passes.
 
     Returns (indices [size] int32, count, dropped) where ``dropped`` counts
     true entries lost to block-slot or size overflow (reported, not
@@ -178,17 +182,23 @@ def masked_nonzero(
     n = mask.shape[0]
     nb = (n + block - 1) // block
     m = jnp.pad(mask, (0, nb * block - n)).reshape(nb, block)
+    csum = jnp.cumsum(m.astype(jnp.int32), axis=1)   # rank of each True
+    bc = csum[:, -1]                                 # per-block counts
     j = jax.lax.broadcasted_iota(jnp.int32, (nb, block), 1)
-    val = jnp.where(m, block - j, 0)
-    top, _ = lax.top_k(val, slots)           # [nb, slots], masked-first
-    slot_valid = top > 0
-    local = block - top
+
+    local_cols = []
+    slot_ok = []
+    for s in range(slots):
+        hit = m & (csum == s + 1)                    # one-hot row (or empty)
+        local_cols.append(jnp.max(jnp.where(hit, j, 0), axis=1))
+        slot_ok.append(bc > s)
+    local = jnp.stack(local_cols, axis=1)            # [nb, slots]
+    sv = jnp.stack(slot_ok, axis=1).reshape(-1)
     gpos = (
         jax.lax.broadcasted_iota(jnp.int32, (nb, slots), 0) * block + local
     ).reshape(-1)
-    sv = slot_valid.reshape(-1)
 
-    total = jnp.sum(m.astype(jnp.int32))
+    total = jnp.sum(bc)
     order, kept, _ = compact_indices(sv, size)
     idx = jnp.where(jnp.arange(size) < kept, gpos[order], 0)
     dropped = total - kept
