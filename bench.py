@@ -29,8 +29,10 @@ def main() -> None:
 
     config = SiftConfig()
     h, w = 480, 640
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    natural = "--natural" in sys.argv[1:]
+    batch = int(args[0]) if len(args) > 0 else 8
+    iters = int(args[1]) if len(args) > 1 else 10
     if batch < 1 or iters < 1:
         raise SystemExit(f"batch and iters must be >= 1 (got {batch}, {iters})")
     n_oct = config.num_octaves(h, w)
@@ -60,9 +62,39 @@ def main() -> None:
         return acc
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.uniform(0.0, 1.0, (batch, h, w)).astype(np.float32)
-    )
+    if natural:
+        # --natural: tile the IPOL butterfly fixture to 480x640 — noise
+        # frames carry ~40% more detections than natural images, so the
+        # default number is a conservative bound and this one is the
+        # realistic-content variant (both belong in README).
+        import pathlib
+
+        from siftmetal_tpu.utils.io import load_image
+
+        img = np.asarray(
+            load_image(
+                str(
+                    pathlib.Path(__file__).parent
+                    / "tests/fixtures/butterfly.png"
+                )
+            )
+        ).astype(np.float32)
+        if img.ndim == 3:
+            img = img[..., :3] @ np.array(
+                [0.2126, 0.7152, 0.0722], np.float32
+            )
+        tile = np.pad(
+            img,
+            ((0, max(0, h - img.shape[0])), (0, max(0, w - img.shape[1]))),
+            mode="wrap",
+        )[:h, :w]
+        frames = jnp.asarray(
+            np.stack([tile * (1.0 - 0.02 * b / batch) for b in range(batch)])
+        )
+    else:
+        frames = jnp.asarray(
+            rng.uniform(0.0, 1.0, (batch, h, w)).astype(np.float32)
+        )
 
     _ = int(np.asarray(bench_n(frames)))  # warmup / compile
 
@@ -75,7 +107,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "sift_extract_fps_640x480",
+                "metric": (
+                    "sift_extract_fps_640x480_natural"
+                    if natural
+                    else "sift_extract_fps_640x480"
+                ),
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / 2000.0, 4),

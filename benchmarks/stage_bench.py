@@ -89,9 +89,54 @@ def main() -> None:
             descs.features.astype(jnp.int32)
         )
 
+    def stage_mask(g):
+        _, dogs = build_pyramid_batch(g, config, n_oct)
+        acc = 0
+        for o in range(n_oct):
+            m = jax.vmap(_detect.extrema_mask)(dogs[o])
+            acc = acc + jnp.sum(m.astype(jnp.int32))
+        return acc
+
+    def stage_fields(g):
+        _, dogs = build_pyramid_batch(g, config, n_oct)
+        acc = 0.0
+        for o in range(n_oct):
+            f = jax.vmap(_detect.dense_taylor_fields)(dogs[o])
+            acc = acc + jnp.sum(f)
+        return acc
+
+    def stage_nonzero(g):
+        _, dogs = build_pyramid_batch(g, config, n_oct)
+        acc = 0
+        for o in range(n_oct):
+            hh, ww = dogs[o].shape[-2], dogs[o].shape[-1]
+            k = _detect.extrema_candidate_budget(config, (hh, ww))
+            m = jax.vmap(_detect.extrema_mask)(dogs[o])
+            idx, cnt, drp = jax.vmap(
+                lambda mm, k=k: _detect.masked_nonzero(
+                    mm.reshape(-1), k
+                )
+            )(m)
+            acc = acc + jnp.sum(cnt) + jnp.sum(idx[:, ::64])
+        return acc
+
+    def stage_edge(g):
+        _, dogs = build_pyramid_batch(g, config, n_oct)
+        acc = 0
+        for o in range(n_oct):
+            e = jax.vmap(
+                lambda d: _detect.dense_edge_ok(d, config.edge_threshold)
+            )(dogs[o])
+            acc = acc + jnp.sum(e.astype(jnp.int32))
+        return acc
+
     stages = {
         "seed": stage_seed,
         "pyramid": stage_pyramid,
+        "mask": stage_mask,
+        "fields": stage_fields,
+        "edge": stage_edge,
+        "nonzero": stage_nonzero,
         "detect": stage_detect,
         "compact": stage_compact,
         "full": stage_full,

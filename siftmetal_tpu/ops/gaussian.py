@@ -33,7 +33,9 @@ def gaussian_taps(sigma: float) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def _conv1d_sym(image: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
+def _conv1d_sym(
+    image: jnp.ndarray, taps: np.ndarray, axis: int, out_dtype=None
+) -> jnp.ndarray:
     """1-D convolution along ``axis`` (-1 or -2) with symmetric padding.
 
     Implemented as an unrolled shift-and-add (pad + sum of tap-weighted
@@ -55,18 +57,38 @@ def _conv1d_sym(image: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
     x = jnp.pad(image, pad, mode="symmetric")
 
     n = image.shape[axis]
+    # Reduced-precision inputs (bf16 fast mode): accumulate the tap sum in
+    # fp32 and round ONCE at the end — accumulating in bf16 compounds
+    # ~sqrt(n_taps) rounding errors per pass, which lands directly on the
+    # tiny DoG differences downstream. The upcast fuses into the same
+    # HBM pass, so the bandwidth saving of bf16 storage is kept.
+    if out_dtype is None:
+        out_dtype = image.dtype
+    upcast = image.dtype != jnp.float32
     acc = None
     for k in range(2 * radius + 1):
         sl = [slice(None)] * image.ndim
         sl[axis] = slice(k, k + n)
-        term = float(taps[k]) * x[tuple(sl)]
+        v = x[tuple(sl)]
+        if upcast:
+            v = v.astype(jnp.float32)
+        term = float(taps[k]) * v
         acc = term if acc is None else acc + term
-    return acc
+    return acc.astype(out_dtype)
 
 
-def blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of [..., H, W] with symmetric boundary."""
+def blur(image: jnp.ndarray, sigma: float, out_dtype=None) -> jnp.ndarray:
+    """Separable Gaussian blur of [..., H, W] with symmetric boundary.
+
+    ``out_dtype`` overrides the output dtype: the bf16 fast-mode pyramid
+    reads a bf16 chain but takes the SECOND pass's fp32 accumulator
+    un-rounded (out_dtype=float32) — quantizing the stored Gaussians
+    makes neighboring DoG samples collide into plateaus and the strict
+    extrema test drops ~1/3 of keypoints (measured on the butterfly)."""
     if sigma <= 0.0:
-        return image
+        return image if out_dtype is None else image.astype(out_dtype)
     taps = gaussian_taps(sigma)
-    return _conv1d_sym(_conv1d_sym(image, taps, axis=-1), taps, axis=-2)
+    first = _conv1d_sym(image, taps, axis=-1)
+    if out_dtype is not None:
+        return _conv1d_sym(first, taps, axis=-2, out_dtype=out_dtype)
+    return _conv1d_sym(first, taps, axis=-2)

@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
+from . import pyramid as _pyramid
 from .pyramid import seed_image
-from ..ops.gaussian import blur
 from ..ops.image import decimate_2x
 from . import detect as _detect
 from . import describe as _describe
@@ -48,14 +48,20 @@ def build_pyramid_batch(
     shapes = config.octave_shapes(h, w, n_octaves)
     gaussians: List[jnp.ndarray] = []
     dogs: List[jnp.ndarray] = []
-    first = seed_image(gray, config)
+    bf16 = config.pyramid_dtype == "bfloat16"
+    # bf16 fast mode mirrors pyramid.cascade_slices: the blur chain reads
+    # bf16, every emitted slice is the fp32 accumulator (quantized
+    # Gaussians plateau the DoG and break the strict extrema test).
+    if bf16:
+        gray = gray.astype(jnp.bfloat16)
+    first = seed_image(gray, config, out_dtype=jnp.float32)
     for o in range(n_octaves):
         if o > 0:
             prev = gaussians[o - 1][:, config.n_scales_per_octave]
+            if bf16:
+                prev = prev.astype(jnp.bfloat16)
             first = decimate_2x(prev, shapes[o])
-        slices = [first]
-        for rho in config.incremental_sigmas(o):
-            slices.append(blur(slices[-1], rho))
+        slices = _pyramid.cascade_slices(first, o, config)
         stack = jnp.stack(slices, axis=1)
         gaussians.append(stack)
         dogs.append(stack[:, 1:] - stack[:, :-1])
@@ -79,9 +85,7 @@ def extract_gray_batch(
     counters: Dict[str, jnp.ndarray] = {}
     with jax.named_scope("sift_detect"):
         for o in range(n_octaves):
-            kp_b, ctr = jax.vmap(
-                lambda d, o=o: _detect.detect_octave(d, o, config)
-            )(dogs[o])
+            kp_b, ctr = _detect.detect_octave_batch(dogs[o], o, config)
             per_octave.append(kp_b)
             for key, v in ctr.items():
                 counters[key] = counters.get(key, 0) + v

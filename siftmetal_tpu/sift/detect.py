@@ -18,8 +18,9 @@ static-shape design:
     algorithm the golden fixtures were generated with (clamped +-1 walks
     along rows/cols/scale), computed from DENSE per-pixel Taylor fields:
     every interior sample's offset/value is a stencil pass, and each
-    refinement iteration is one batched [K, 4] gather — per-candidate
-    3x3x3 dynamic slices cost ~140 ms/frame in tiny DMAs on TPU.
+    refinement iteration is one batched [K, 4] row gather (per-candidate
+    dynamic slices cost ~140 ms/frame; a [K, 27] flat scalar gather cost
+    ~20 ms/frame — both measured and rejected).
 
 Everything here is pure and jittable; stage-by-stage acceptance flags are
 kept so tests can validate each IPOL pipeline stage (extra_NES /
@@ -161,7 +162,7 @@ def extrema_candidate_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
 
 
 def masked_nonzero(
-    mask: jnp.ndarray, size: int, block: int = 512, slots: int = 16
+    mask: jnp.ndarray, size: int, block: int = 256, slots: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Indices of True entries of a flat bool mask, padded to ``size``.
 
@@ -263,12 +264,12 @@ def dense_taylor_fields(dog: jnp.ndarray) -> jnp.ndarray:
     """Taylor-step fields for EVERY interior sample: [S-2, H-2, W-2, 4] =
     (ofst_i, ofst_j, ofst_s, interpolated value).
 
-    The per-candidate formulation (a vmapped 3x3x3 dynamic_slice per lane
-    per iteration) costs ~140 ms/frame on TPU — tens of thousands of tiny
-    DMAs; computing the same quantities densely is a handful of 27-point
-    stencil passes (~ms, it reads the same data the extrema mask already
-    touches), after which each refinement iteration is ONE batched gather.
-    """
+    Dense on purpose, measured twice: per-candidate 3x3x3 dynamic slices
+    cost ~140 ms/frame (tiny DMAs), and a batched [K, 27] flat gather of
+    candidate neighborhoods costs ~20 ms/frame batched (TPU scalar-gather
+    throughput) — the dense stencil pass reading data the extrema mask
+    already touched is ~1.3 ms and each refinement iteration becomes one
+    cheap [K, 4] row gather."""
     nb = partial(_neighborhood, dog)
     c = nb(0, 0, 0)
     gi = 0.5 * (nb(0, 1, 0) - nb(0, -1, 0))
@@ -371,40 +372,40 @@ def _refine_batched(
     return s, i, j, conv, oi, oj, os_, val
 
 
-def detect_octave(
-    dog: jnp.ndarray,
+def _octave_tail(
+    fields: jnp.ndarray,
+    edge_field: jnp.ndarray,
+    flat: jnp.ndarray,
+    n_cand: jnp.ndarray,
+    dropped: jnp.ndarray,
+    plane_shape: Tuple[int, int],
     octave: int,
     config: SiftConfig,
+    h: int,
+    w: int,
+    n_extrema: jnp.ndarray,
+    n_soft: jnp.ndarray,
 ) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
-    """Full detection for one octave's [S, H, W] DoG stack.
+    """Shared refinement + acceptance tail of octave detection.
 
-    Returns padded keypoint slots plus per-stage counters mirroring the IPOL
-    fixture stages (extra_NES .. extra_FarFromBorder). ``counters['overflow']``
-    is nonzero iff candidates exceeded the static slot budget — the honest
-    version of the reference's silent 4096 cap (SIFTOctave.swift:22-26).
+    ``fields`` [S-2, Hp, Wp, 4] / ``edge_field`` [S-2, Hp, Wp] are the
+    dense Taylor/edge planes (entry (s, r, c) describes DoG center
+    (s+1, r+1, c+1)); ``plane_shape`` = (Hp, Wp) gives the flat-index
+    strides of the candidate positions in ``flat`` — the XLA path uses
+    tight (H-2, W-2) planes, the fused Pallas kernel tile-padded ones.
     """
-    s_dim, h, w = dog.shape
+    hp, wp = plane_shape
+    k = flat.shape[0]
     delta = config.octave_delta(octave)
     sigmas = jnp.asarray(config.octave_sigmas(octave), dtype=jnp.float32)
     sigma_ratio = 2.0 ** (1.0 / config.n_scales_per_octave)
-    k = extrema_candidate_budget(config, (h, w))
 
-    mask = extrema_mask(dog)
-    center = dog[1:-1, 1:-1, 1:-1]
-    soft = mask & (jnp.abs(center) > 0.8 * config.dog_threshold)
-
-    n_extrema = jnp.sum(mask.astype(jnp.int32))
-    n_soft = jnp.sum(soft.astype(jnp.int32))
-
-    flat, n_cand, dropped = masked_nonzero(soft.reshape(-1), k)
     cand_valid = jnp.arange(k) < n_cand
-    hh, ww = h - 2, w - 2
-    s_idx = (flat // (hh * ww) + 1).astype(jnp.int32)
-    rem = flat % (hh * ww)
-    i_idx = (rem // ww + 1).astype(jnp.int32)
-    j_idx = (rem % ww + 1).astype(jnp.int32)
+    s_idx = (flat // (hp * wp) + 1).astype(jnp.int32)
+    rem = flat % (hp * wp)
+    i_idx = (rem // wp + 1).astype(jnp.int32)
+    j_idx = (rem % wp + 1).astype(jnp.int32)
 
-    fields = dense_taylor_fields(dog)
     s_f, i_f, j_f, conv, oi, oj, os_, val = _refine_batched(
         fields,
         s_idx,
@@ -417,7 +418,6 @@ def detect_octave(
     )
 
     pass_hard = conv & (jnp.abs(val) > config.dog_threshold)
-    edge_field = dense_edge_ok(dog, config.edge_threshold)
     edge_ok = edge_field[s_f - 1, i_f - 1, j_f - 1]
     pass_edge = pass_hard & edge_ok
 
@@ -464,6 +464,87 @@ def detect_octave(
         "overflow": dropped,
     }
     return kp, counters
+
+
+def detect_octave(
+    dog: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
+    """Full detection for one octave's [S, H, W] DoG stack.
+
+    Returns padded keypoint slots plus per-stage counters mirroring the IPOL
+    fixture stages (extra_NES .. extra_FarFromBorder). ``counters['overflow']``
+    is nonzero iff candidates exceeded the static slot budget — the honest
+    version of the reference's silent 4096 cap (SIFTOctave.swift:22-26).
+    """
+    s_dim, h, w = dog.shape
+    k = extrema_candidate_budget(config, (h, w))
+
+    mask = extrema_mask(dog)
+    center = dog[1:-1, 1:-1, 1:-1]
+    soft = mask & (jnp.abs(center) > 0.8 * config.dog_threshold)
+
+    n_extrema = jnp.sum(mask.astype(jnp.int32))
+    n_soft = jnp.sum(soft.astype(jnp.int32))
+
+    flat, n_cand, dropped = masked_nonzero(soft.reshape(-1), k)
+    fields = dense_taylor_fields(dog)
+    edge_field = dense_edge_ok(dog, config.edge_threshold)
+    return _octave_tail(
+        fields, edge_field, flat, n_cand, dropped,
+        (h - 2, w - 2), octave, config, h, w, n_extrema, n_soft,
+    )
+
+
+def detect_octave_batch(
+    dog: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
+    """Batched [B, S, H, W] octave detection.
+
+    On TPU (config.use_pallas_detect) the extrema mask, dense Taylor
+    fields and edge acceptance come from ONE fused Pallas pass over the
+    DoG tile (ops/pallas/detect.py) instead of three separate XLA
+    stencil passes; elsewhere it is a plain vmap of :func:`detect_octave`
+    (which stays the numeric reference)."""
+    if not _use_pallas_detect(config):
+        return jax.vmap(
+            lambda d: detect_octave(d, octave, config)
+        )(dog)
+
+    from ..ops.pallas.detect import detect_fields_pallas
+
+    b, s_dim, h, w = dog.shape
+    k = extrema_candidate_budget(config, (h, w))
+    raw, soft, fields, edge_field = detect_fields_pallas(
+        dog, 0.8 * config.dog_threshold, config.edge_threshold,
+        tile_h=_detect_tile_h(h),
+    )
+    hp, wp = soft.shape[-2], soft.shape[-1]
+    n_extrema = jnp.sum(raw.astype(jnp.int32), axis=(1, 2, 3))
+    n_soft = jnp.sum(soft.astype(jnp.int32), axis=(1, 2, 3))
+
+    flat, n_cand, dropped = jax.vmap(
+        lambda m: masked_nonzero(m.reshape(-1), k)
+    )(soft)
+    return jax.vmap(
+        lambda f, e, fl, nc, dr, ne, ns: _octave_tail(
+            f, e, fl, nc, dr, (hp, wp), octave, config, h, w, ne, ns
+        )
+    )(fields, edge_field, flat, n_cand, dropped, n_extrema, n_soft)
+
+
+def _use_pallas_detect(config: SiftConfig) -> bool:
+    return config.use_pallas_detect and jax.default_backend() == "tpu"
+
+
+def _detect_tile_h(h: int) -> int:
+    """Row-tile height for the fused kernel: 128 for big octaves, the
+    8-aligned interior height for small ones (avoids 10x padding waste
+    on coarse octaves)."""
+    return min(128, (h - 2 + 7) // 8 * 8)
 
 
 def detect(

@@ -20,14 +20,18 @@ from ..ops.gaussian import blur
 from ..ops.image import decimate_2x, rgb_to_gray, upsample_bilinear_2x
 
 
-def seed_image(gray: jnp.ndarray, config: SiftConfig) -> jnp.ndarray:
+def seed_image(
+    gray: jnp.ndarray, config: SiftConfig, out_dtype=None
+) -> jnp.ndarray:
     """Grayscale input -> blurred 2x-oversampled seed v(0, 0).
 
     Mirrors DifferenceOfGaussians.encodeSeedTexture
     (DifferenceOfGaussians.swift:357-389): bilinear 2x upsample (when
     delta_min = 0.5; the FAST preset's delta_min = 1 skips oversampling,
     standard Lowe-style) then blur by
-    sqrt(sigma_min^2 - sigma_input^2) / delta_min.
+    sqrt(sigma_min^2 - sigma_input^2) / delta_min. ``out_dtype`` is
+    forwarded to the blur (bf16 fast mode reads a bf16 input but emits
+    the fp32 accumulator).
     """
     if config.delta_min == 1.0:
         scaled = gray
@@ -35,22 +39,40 @@ def seed_image(gray: jnp.ndarray, config: SiftConfig) -> jnp.ndarray:
         scaled = upsample_bilinear_2x(gray)
     else:
         raise ValueError(f"unsupported delta_min {config.delta_min}")
-    return blur(scaled, config.seed_blur_sigma())
+    return blur(scaled, config.seed_blur_sigma(), out_dtype=out_dtype)
+
+
+def cascade_slices(
+    first: jnp.ndarray, o: int, config: SiftConfig
+) -> List[jnp.ndarray]:
+    """Progressively blurred fp32 slices for octave ``o`` (the blur
+    cascade applies incremental sigmas rho[s-1 -> s];
+    GaussianSeriesKernel: DifferenceOfGaussians.swift:91-110).
+
+    bf16 fast mode: the chain each blur READS is stored bf16 (half the
+    cascade's HBM read traffic), but every EMITTED slice is the blur's
+    fp32 accumulator, un-rounded — storing quantized Gaussians collides
+    neighboring DoG samples into plateaus and the strict extrema test
+    then drops ~1/3 of keypoints (measured; see ops/gaussian.blur)."""
+    bf16 = config.pyramid_dtype == "bfloat16"
+    slices = [first.astype(jnp.float32) if bf16 else first]
+    chain = first.astype(jnp.bfloat16) if bf16 else first
+    for rho in config.incremental_sigmas(o):
+        if bf16:
+            out = blur(chain, rho, out_dtype=jnp.float32)
+            chain = out.astype(jnp.bfloat16)
+            slices.append(out)
+        else:
+            chain = blur(chain, rho)
+            slices.append(chain)
+    return slices
 
 
 def build_gaussian_octave(
     first: jnp.ndarray, o: int, config: SiftConfig
 ) -> jnp.ndarray:
-    """Stack [S, H, W] of progressively blurred images for octave ``o``.
-
-    The blur cascade applies incremental sigmas rho[s-1 -> s]
-    (GaussianSeriesKernel: DifferenceOfGaussians.swift:91-110).
-    """
-    rhos = config.incremental_sigmas(o)
-    slices = [first]
-    for rho in rhos:
-        slices.append(blur(slices[-1], rho))
-    return jnp.stack(slices, axis=0)
+    """Stack [S, H, W] of progressively blurred images for octave ``o``."""
+    return jnp.stack(cascade_slices(first, o, config), axis=0)
 
 
 def build_pyramid(
@@ -69,15 +91,24 @@ def build_pyramid(
     h, w = gray.shape[-2], gray.shape[-1]
     shapes = config.octave_shapes(h, w, n_octaves)
 
+    bf16 = config.pyramid_dtype == "bfloat16"
     use_cascade = (
-        config.use_pallas_pyramid and jax.default_backend() == "tpu"
+        config.use_pallas_pyramid
+        and not bf16
+        and jax.default_backend() == "tpu"
     )
     gaussians: List[jnp.ndarray] = []
     dogs: List[jnp.ndarray] = []
-    first = seed_image(gray, config)
+    # bf16 fast mode: the seed's upsample+blur reads bf16 too (the seed
+    # blur at 2x resolution is the largest single blur in the pipeline).
+    if bf16:
+        gray = gray.astype(jnp.bfloat16)
+    first = seed_image(gray, config, out_dtype=jnp.float32)
     for o in range(n_octaves):
         if o > 0:
             prev = gaussians[o - 1][config.n_scales_per_octave]
+            if bf16:
+                prev = prev.astype(jnp.bfloat16)
             first = decimate_2x(prev, shapes[o])
         # The fused kernel wins on large octaves; small ones are dominated
         # by fixed kernel overhead and stay on the XLA shift-add path

@@ -157,9 +157,13 @@ def test_masked_nonzero_dense_block_reports_drops():
 
     # Adversarial density: 100 hits inside one 512 block exceeds the
     # 16-slot bound -> drops must be REPORTED, survivors still valid.
+    # (block/slots pinned explicitly so the test is independent of the
+    # perf-tuned defaults.)
     mask = np.zeros(2048, dtype=bool)
     mask[100:200] = True
-    idx, count, dropped = masked_nonzero(jnp.asarray(mask), 128)
+    idx, count, dropped = masked_nonzero(
+        jnp.asarray(mask), 128, block=512, slots=16
+    )
     assert int(dropped) == 100 - 16
     assert int(count) == 16
     got = np.asarray(idx)[:16]

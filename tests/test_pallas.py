@@ -190,3 +190,63 @@ def test_octave_cascade_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(got_dog), ref_stack[1:] - ref_stack[:-1], atol=2e-5
     )
+
+
+def test_detect_fields_pallas_matches_xla():
+    """Fused detection kernel (interpret mode) vs the three XLA passes:
+    raw/soft extrema masks, Taylor fields at soft candidates, edge test."""
+    from siftmetal_tpu.ops.pallas.detect import detect_fields_pallas
+    from siftmetal_tpu.sift.detect import (
+        dense_edge_ok,
+        dense_taylor_fields,
+        extrema_mask,
+    )
+
+    rng = np.random.default_rng(7)
+    b, s, h, w = 2, 5, 70, 150
+    # Smooth-ish field so extrema are sparse like a real DoG.
+    base = rng.uniform(-1, 1, (b, s, h // 5 + 2, w // 5 + 2))
+    dog = np.stack(
+        [
+            [
+                np.kron(base[bb, ss], np.ones((5, 5)))[:h, :w]
+                for ss in range(s)
+            ]
+            for bb in range(b)
+        ]
+    ).astype(np.float32)
+    dog += rng.normal(0, 0.05, dog.shape).astype(np.float32)
+    dog_j = jnp.asarray(dog)
+
+    thr = 0.8 * 0.0133
+    raw, soft, fields, edge = detect_fields_pallas(
+        dog_j, thr, 10.0, tile_h=16, interpret=True
+    )
+    hp, wp = soft.shape[-2], soft.shape[-1]
+    for bb in range(b):
+        m_ref = np.asarray(extrema_mask(dog_j[bb]))
+        c = dog[bb, 1:-1, 1:-1, 1:-1]
+        soft_ref = m_ref & (np.abs(c) > thr)
+        f_ref = np.asarray(dense_taylor_fields(dog_j[bb]))
+        e_ref = np.asarray(dense_edge_ok(dog_j[bb], 10.0))
+
+        raw_np = np.asarray(raw[bb])[:, : h - 2, : w - 2]
+        soft_np = np.asarray(soft[bb])[:, : h - 2, : w - 2]
+        assert (raw_np == m_ref).all()
+        assert (soft_np == soft_ref).all()
+        # Padding region must be inert.
+        assert not np.asarray(soft[bb])[:, h - 2 :, :].any()
+        assert not np.asarray(soft[bb])[:, :, w - 2 :].any()
+
+        f_np = np.asarray(fields[bb])[:, : h - 2, : w - 2]
+        e_np = np.asarray(edge[bb])[:, : h - 2, : w - 2]
+        # Fields are only consumed where the refinement walk can land;
+        # compare where the reference values are finite (interior det!=0).
+        # rtol accommodates near-singular Hessians (det ~ 0): there the
+        # offsets blow past the 0.6 convergence bound by orders of
+        # magnitude and only their sign/magnitude class matters.
+        finite = np.isfinite(f_ref).all(-1)
+        np.testing.assert_allclose(
+            f_np[finite], f_ref[finite], rtol=5e-3, atol=1e-4
+        )
+        assert (e_np == e_ref).all()
