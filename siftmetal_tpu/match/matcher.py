@@ -133,6 +133,47 @@ def match_bruteforce(
     )
 
 
+def match_guided(
+    query_features: jnp.ndarray,
+    target_features: jnp.ndarray,
+    query_valid: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    query_uv: jnp.ndarray,
+    target_uv: jnp.ndarray,
+    gate_radius: float,
+    absolute_threshold: float = 1.4,
+) -> Matches:
+    """Spatially-gated descriptor matching (guided re-matching).
+
+    Each query may only match targets whose predicted image position
+    ``target_uv`` lies within ``gate_radius`` pixels of ``query_uv`` —
+    the SfM driver projects map landmarks into a newly registered
+    keyframe and recovers observations the global ratio-test matcher
+    missed. The gate replaces the ratio test (with few gated candidates
+    a second-best distance is meaningless), so only the absolute
+    threshold applies."""
+    q = raw_features(query_features)
+    t = raw_features(target_features)
+    d2 = pairwise_sq_dists(q, t)
+    gate = (
+        jnp.sum(
+            (query_uv[:, None, :] - target_uv[None, :, :]) ** 2, axis=-1
+        )
+        <= gate_radius * gate_radius
+    )
+    d2 = jnp.where(gate & target_valid[None, :], d2, jnp.inf)
+    d1 = jnp.min(d2, axis=1)
+    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    dist = jnp.sqrt(d1)
+    ok = query_valid & jnp.isfinite(d1) & (dist < absolute_threshold)
+    return Matches(
+        target_idx=jnp.where(ok, idx, -1),
+        distance=dist,
+        second_distance=jnp.full_like(dist, jnp.inf),
+        valid=ok,
+    )
+
+
 def match_two_stage(
     query_features: jnp.ndarray,
     target_features: jnp.ndarray,

@@ -92,20 +92,43 @@ def _step(g: PoseGraph, lam: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.solve(hm, bv).reshape(n, 6)
 
 
+def robust_edge_weights(
+    g: PoseGraph, huber_delta: float
+) -> jnp.ndarray:
+    """IRLS Huber weights per edge: w = min(1, delta / ||r||).
+
+    Applied ON TOP of the static edge weights so a bad measurement (e.g.
+    a loop closure verified by an ill-conditioned PnP) is downweighted
+    instead of dragging the whole chain toward its wrong constraint."""
+    r = jax.vmap(
+        lambda i, j, m: edge_residual(g.poses[i], g.poses[j], m)
+    )(g.edge_i, g.edge_j, g.rel_ij)
+    norm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-24)
+    return jnp.minimum(1.0, huber_delta / norm)
+
+
 def optimize_pose_graph(
-    g: PoseGraph, n_iterations: int = 20, damping: float = 1e-4
+    g: PoseGraph,
+    n_iterations: int = 20,
+    damping: float = 1e-4,
+    huber_delta: float = 0.1,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Jittable LM pose-graph optimization; returns (graph, final_cost)."""
+    """Jittable robust-LM pose-graph optimization; returns
+    (graph, final_cost). ``huber_delta`` is the residual norm (rad/units
+    mixed 6-vector) beyond which an edge is treated as an outlier and
+    IRLS-downweighted; pass ``inf`` for pure least squares."""
 
     def body(_, state):
         poses, lam = state
         gg = g._replace(poses=poses)
+        w = g.weight * robust_edge_weights(gg, huber_delta)
+        gw = gg._replace(weight=w)
         # Keep the normal equations off the TPU's bf16 matmul path.
         with jax.default_matmul_precision("highest"):
-            d = _step(gg, lam)
+            d = _step(gw, lam)
         new_poses = poses + d
-        c0 = graph_cost(gg)
-        c1 = graph_cost(g._replace(poses=new_poses))
+        c0 = graph_cost(gw)
+        c1 = graph_cost(gw._replace(poses=new_poses))
         accept = c1 < c0
         poses = jnp.where(accept, new_poses, poses)
         lam = jnp.clip(
