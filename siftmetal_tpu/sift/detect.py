@@ -161,6 +161,15 @@ def extrema_candidate_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
     return (k + 127) // 128 * 128
 
 
+def mover_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
+    """Static lane budget for refinement-walk MOVERS (candidates whose
+    first Taylor step exceeds the 0.6 re-centering bound). Measured at
+    640x480: <=150 movers/octave on both natural and noise frames vs the
+    ~1.2k budget this gives octave 0 — ~8x headroom, and overflow is
+    rejected-and-counted, never silent."""
+    return max(256, extrema_candidate_budget(config, shape) // 8)
+
+
 def masked_nonzero(
     mask: jnp.ndarray, size: int, block: int = 256, slots: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -317,7 +326,7 @@ def dense_edge_ok(dog: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
 
 
 def _refine_batched(
-    fields: jnp.ndarray,
+    fields: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     s0: jnp.ndarray,
     i0: jnp.ndarray,
     j0: jnp.ndarray,
@@ -329,9 +338,14 @@ def _refine_batched(
 ):
     """IPOL refinement walk for all candidates at once.
 
-    One [K, 4] gather from the dense Taylor fields per iteration; moves
-    clamped to the interior exactly like the per-candidate version."""
-    s_max = fields.shape[0]  # interior scales
+    ``fields`` is the tuple of dense Taylor planes (ofst_i, ofst_j,
+    ofst_s, value), each [S-2, Hp, Wp] — kept as SEPARATE planes so the
+    producer never materializes a [..., 4] re-stack (59 MB of pure
+    re-layout traffic per frame at 640x480). Each iteration is four
+    batched [K] row gathers; moves are clamped to the interior exactly
+    like the per-candidate version."""
+    foi, foj, fos, fval = fields
+    s_max = foi.shape[0]  # interior scales
     mo = jnp.float32(max_offset)
     k = s0.shape[0]
     zeros = jnp.zeros((k,), dtype=jnp.float32)
@@ -339,8 +353,10 @@ def _refine_batched(
 
     def body(_, carry):
         s, i, j, conv, done, oi, oj, os_, val = carry
-        f = fields[s - 1, i - 1, j - 1]          # [K, 4] batched gather
-        noi, noj, nos, nval = f[:, 0], f[:, 1], f[:, 2], f[:, 3]
+        noi = foi[s - 1, i - 1, j - 1]
+        noj = foj[s - 1, i - 1, j - 1]
+        nos = fos[s - 1, i - 1, j - 1]
+        nval = fval[s - 1, i - 1, j - 1]
         nconv = (
             (jnp.abs(noi) < mo) & (jnp.abs(noj) < mo) & (jnp.abs(nos) < mo)
         )
@@ -373,12 +389,13 @@ def _refine_batched(
 
 
 def _octave_tail(
-    fields: jnp.ndarray,
+    fields: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     edge_field: jnp.ndarray,
-    flat: jnp.ndarray,
+    s_idx: jnp.ndarray,
+    i_idx: jnp.ndarray,
+    j_idx: jnp.ndarray,
     n_cand: jnp.ndarray,
     dropped: jnp.ndarray,
-    plane_shape: Tuple[int, int],
     octave: int,
     config: SiftConfig,
     h: int,
@@ -388,23 +405,20 @@ def _octave_tail(
 ) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
     """Shared refinement + acceptance tail of octave detection.
 
-    ``fields`` [S-2, Hp, Wp, 4] / ``edge_field`` [S-2, Hp, Wp] are the
-    dense Taylor/edge planes (entry (s, r, c) describes DoG center
-    (s+1, r+1, c+1)); ``plane_shape`` = (Hp, Wp) gives the flat-index
-    strides of the candidate positions in ``flat`` — the XLA path uses
-    tight (H-2, W-2) planes, the fused Pallas kernel tile-padded ones.
+    ``fields`` is the tuple of dense Taylor planes (ofst_i, ofst_j,
+    ofst_s, value) and ``edge_field`` the edge acceptance, each
+    [S-2, Hp, Wp] (entry (s, r, c) describes DoG center (s+1, r+1, c+1);
+    the XLA path uses tight (H-2, W-2) planes, the fused Pallas kernel
+    tile-padded ones). ``s_idx``/``i_idx``/``j_idx`` are the candidate
+    DoG-center coordinates (garbage-but-interior where
+    ``arange(k) >= n_cand``).
     """
-    hp, wp = plane_shape
-    k = flat.shape[0]
+    k = s_idx.shape[0]
     delta = config.octave_delta(octave)
     sigmas = jnp.asarray(config.octave_sigmas(octave), dtype=jnp.float32)
     sigma_ratio = 2.0 ** (1.0 / config.n_scales_per_octave)
 
     cand_valid = jnp.arange(k) < n_cand
-    s_idx = (flat // (hp * wp) + 1).astype(jnp.int32)
-    rem = flat % (hp * wp)
-    i_idx = (rem // wp + 1).astype(jnp.int32)
-    j_idx = (rem % wp + 1).astype(jnp.int32)
 
     s_f, i_f, j_f, conv, oi, oj, os_, val = _refine_batched(
         fields,
@@ -417,8 +431,39 @@ def _octave_tail(
         max_offset=config.max_interpolation_offset,
     )
 
-    pass_hard = conv & (jnp.abs(val) > config.dog_threshold)
     edge_ok = edge_field[s_f - 1, i_f - 1, j_f - 1]
+    return _acceptance(
+        cand_valid, s_f, i_f, j_f, conv, oi, oj, os_, val, edge_ok,
+        dropped, octave, config, h, w, n_extrema, n_soft,
+    )
+
+
+def _acceptance(
+    cand_valid: jnp.ndarray,
+    s_f: jnp.ndarray,
+    i_f: jnp.ndarray,
+    j_f: jnp.ndarray,
+    conv: jnp.ndarray,
+    oi: jnp.ndarray,
+    oj: jnp.ndarray,
+    os_: jnp.ndarray,
+    val: jnp.ndarray,
+    edge_ok: jnp.ndarray,
+    dropped: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+    h: int,
+    w: int,
+    n_extrema: jnp.ndarray,
+    n_soft: jnp.ndarray,
+) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
+    """IPOL acceptance chain (contrast / edge / border) + counters, shared
+    by the gather-walk tail and the slot-grid Pallas tail."""
+    delta = config.octave_delta(octave)
+    sigmas = jnp.asarray(config.octave_sigmas(octave), dtype=jnp.float32)
+    sigma_ratio = 2.0 ** (1.0 / config.n_scales_per_octave)
+
+    pass_hard = conv & (jnp.abs(val) > config.dog_threshold)
     pass_edge = pass_hard & edge_ok
 
     x = (i_f.astype(jnp.float32) + oi) * delta
@@ -466,6 +511,105 @@ def _octave_tail(
     return kp, counters
 
 
+def _octave_tail_slots(
+    cand_col: jnp.ndarray,
+    slot_ok: jnp.ndarray,
+    cand_fields: Tuple[jnp.ndarray, ...],
+    cand_edge: jnp.ndarray,
+    fields: Tuple[jnp.ndarray, ...],
+    edge_field: jnp.ndarray,
+    octave: int,
+    config: SiftConfig,
+    h: int,
+    w: int,
+    n_extrema: jnp.ndarray,
+    n_soft: jnp.ndarray,
+    row_drop: jnp.ndarray,
+    k_move: int,
+) -> Tuple[OctaveKeypoints, Dict[str, jnp.ndarray]]:
+    """Refinement tail on the kernel-compacted SLOT GRID (one frame).
+
+    The fused kernel already delivers the iteration-1 Taylor step and
+    edge flag AT each candidate, so the common case (|offsets| < 0.6 at
+    the discrete extremum — 72-84%% of candidates, measured) finishes
+    with ZERO dense-plane gathers. Only candidates that MOVE are
+    compacted into ``k_move`` lanes and walk the remaining
+    ``max_interpolation_iterations - 1`` steps with per-lane gathers;
+    movers past the budget are rejected-and-counted (``overflow``).
+
+    Keypoint slots are the flattened [S-2, Ht, slots] grid itself —
+    there is no intermediate candidate-budget compaction; downstream
+    per-octave compaction (compact_octave_keypoints) handles the grid
+    directly.
+    """
+    n_sc, ht, slots = cand_col.shape
+    m = n_sc * ht * slots
+    mo = jnp.float32(config.max_interpolation_offset)
+    s_max = n_sc
+
+    flat = lambda a: a.reshape(m)
+    ok = flat(slot_ok)
+    lane = jnp.arange(m, dtype=jnp.int32)
+    s_idx = lane // (ht * slots) + 1
+    i_idx = (lane % (ht * slots)) // slots + 1
+    j_idx = flat(cand_col) + 1
+    oi1, oj1, os1, val1 = (flat(a) for a in cand_fields)
+    edge1 = flat(cand_edge)
+
+    conv1 = (jnp.abs(oi1) < mo) & (jnp.abs(oj1) < mo) & (jnp.abs(os1) < mo)
+    if config.max_interpolation_iterations <= 1:
+        return _acceptance(
+            ok, s_idx, i_idx, j_idx, conv1 & ok, oi1, oj1, os1, val1,
+            edge1, row_drop, octave, config, h, w, n_extrema, n_soft,
+        )
+
+    # Movers: exact move-clamp logic of _refine_batched.
+    di = jnp.where((oi1 > mo) & (i_idx + 1 <= h - 2), 1, 0) + jnp.where(
+        (oi1 < -mo) & (i_idx - 1 >= 1), -1, 0
+    )
+    dj = jnp.where((oj1 > mo) & (j_idx + 1 <= w - 2), 1, 0) + jnp.where(
+        (oj1 < -mo) & (j_idx - 1 >= 1), -1, 0
+    )
+    ds = jnp.where((os1 > mo) & (s_idx + 1 <= s_max), 1, 0) + jnp.where(
+        (os1 < -mo) & (s_idx - 1 >= 1), -1, 0
+    )
+    move = ok & ~conv1
+    order, n_mov, mov_drop = compact_indices(move, k_move)
+    mv_valid = jnp.arange(k_move) < n_mov
+
+    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m = _refine_batched(
+        fields,
+        (s_idx + ds)[order],
+        (i_idx + di)[order],
+        (j_idx + dj)[order],
+        h,
+        w,
+        max_iterations=config.max_interpolation_iterations - 1,
+        max_offset=config.max_interpolation_offset,
+    )
+    edge_m = edge_field[s_m - 1, i_m - 1, j_m - 1]
+
+    # Scatter mover results back into the slot grid (movers past k_move
+    # keep their iteration-1 state: conv stays False -> rejected, and
+    # their count lands in the overflow counter).
+    tgt = jnp.where(mv_valid, order, m)
+    upd = lambda base, v: base.at[tgt].set(v, mode="drop")
+    s_f = upd(s_idx, s_m)
+    i_f = upd(i_idx, i_m)
+    j_f = upd(j_idx, j_m)
+    conv = upd(conv1, conv_m)
+    oi = upd(oi1, oi_m)
+    oj = upd(oj1, oj_m)
+    os_ = upd(os1, os_m)
+    val = upd(val1, val_m)
+    edge_ok = upd(edge1, edge_m)
+
+    return _acceptance(
+        ok, s_f, i_f, j_f, conv & ok, oi, oj, os_, val, edge_ok,
+        row_drop + mov_drop, octave, config, h, w, n_extrema, n_soft,
+    )
+
+
 def detect_octave(
     dog: jnp.ndarray,
     octave: int,
@@ -489,11 +633,17 @@ def detect_octave(
     n_soft = jnp.sum(soft.astype(jnp.int32))
 
     flat, n_cand, dropped = masked_nonzero(soft.reshape(-1), k)
-    fields = dense_taylor_fields(dog)
+    hp, wp = h - 2, w - 2
+    s_idx = (flat // (hp * wp) + 1).astype(jnp.int32)
+    rem = flat % (hp * wp)
+    i_idx = (rem // wp + 1).astype(jnp.int32)
+    j_idx = (rem % wp + 1).astype(jnp.int32)
+    f4 = dense_taylor_fields(dog)
+    fields = (f4[..., 0], f4[..., 1], f4[..., 2], f4[..., 3])
     edge_field = dense_edge_ok(dog, config.edge_threshold)
     return _octave_tail(
-        fields, edge_field, flat, n_cand, dropped,
-        (h - 2, w - 2), octave, config, h, w, n_extrema, n_soft,
+        fields, edge_field, s_idx, i_idx, j_idx, n_cand, dropped,
+        octave, config, h, w, n_extrema, n_soft,
     )
 
 
@@ -505,35 +655,31 @@ def detect_octave_batch(
     """Batched [B, S, H, W] octave detection.
 
     On TPU (config.use_pallas_detect) the extrema mask, dense Taylor
-    fields and edge acceptance come from ONE fused Pallas pass over the
-    DoG tile (ops/pallas/detect.py) instead of three separate XLA
-    stencil passes; elsewhere it is a plain vmap of :func:`detect_octave`
+    fields, edge acceptance AND candidate compaction come from ONE fused
+    Pallas pass over the DoG tile (ops/pallas/detect.py) instead of
+    three separate XLA stencil passes plus a 3.7M-element XLA
+    compaction; elsewhere it is a plain vmap of :func:`detect_octave`
     (which stays the numeric reference)."""
     if not _use_pallas_detect(config):
         return jax.vmap(
             lambda d: detect_octave(d, octave, config)
         )(dog)
 
-    from ..ops.pallas.detect import detect_fields_pallas
+    from ..ops.pallas.detect import detect_candidates_pallas
 
     b, s_dim, h, w = dog.shape
-    k = extrema_candidate_budget(config, (h, w))
-    raw, soft, fields, edge_field = detect_fields_pallas(
+    (cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+     n_extrema, n_soft, row_drop) = detect_candidates_pallas(
         dog, 0.8 * config.dog_threshold, config.edge_threshold,
         tile_h=_detect_tile_h(h),
     )
-    hp, wp = soft.shape[-2], soft.shape[-1]
-    n_extrema = jnp.sum(raw.astype(jnp.int32), axis=(1, 2, 3))
-    n_soft = jnp.sum(soft.astype(jnp.int32), axis=(1, 2, 3))
-
-    flat, n_cand, dropped = jax.vmap(
-        lambda m: masked_nonzero(m.reshape(-1), k)
-    )(soft)
+    k_move = mover_budget(config, (h, w))
     return jax.vmap(
-        lambda f, e, fl, nc, dr, ne, ns: _octave_tail(
-            f, e, fl, nc, dr, (hp, wp), octave, config, h, w, ne, ns
+        lambda cc, ok, cf, ce, f, e, ne, ns, rd: _octave_tail_slots(
+            cc, ok, cf, ce, f, e, octave, config, h, w, ne, ns, rd, k_move
         )
-    )(fields, edge_field, flat, n_cand, dropped, n_extrema, n_soft)
+    )(cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+      n_extrema, n_soft, row_drop)
 
 
 def _use_pallas_detect(config: SiftConfig) -> bool:

@@ -192,10 +192,12 @@ def test_octave_cascade_matches_sequential():
     )
 
 
-def test_detect_fields_pallas_matches_xla():
-    """Fused detection kernel (interpret mode) vs the three XLA passes:
-    raw/soft extrema masks, Taylor fields at soft candidates, edge test."""
-    from siftmetal_tpu.ops.pallas.detect import detect_fields_pallas
+def test_detect_candidates_pallas_matches_xla():
+    """Fused detection kernel (interpret mode) vs the XLA passes: the
+    in-kernel compacted candidate set must equal the soft-extrema mask's
+    true positions, counters must match the dense sums, Taylor fields at
+    candidates and the edge test must match the XLA stencils."""
+    from siftmetal_tpu.ops.pallas.detect import detect_candidates_pallas
     from siftmetal_tpu.sift.detect import (
         dense_edge_ok,
         dense_taylor_fields,
@@ -219,10 +221,11 @@ def test_detect_fields_pallas_matches_xla():
     dog_j = jnp.asarray(dog)
 
     thr = 0.8 * 0.0133
-    raw, soft, fields, edge = detect_fields_pallas(
-        dog_j, thr, 10.0, tile_h=16, interpret=True
+    (cand_col, slot_ok, cand_fields, cand_edge, fields, edge, n_raw,
+     n_soft, row_drop) = (
+        detect_candidates_pallas(dog_j, thr, 10.0, tile_h=16, interpret=True)
     )
-    hp, wp = soft.shape[-2], soft.shape[-1]
+    _, n_sc, ht, slots = cand_col.shape
     for bb in range(b):
         m_ref = np.asarray(extrema_mask(dog_j[bb]))
         c = dog[bb, 1:-1, 1:-1, 1:-1]
@@ -230,23 +233,178 @@ def test_detect_fields_pallas_matches_xla():
         f_ref = np.asarray(dense_taylor_fields(dog_j[bb]))
         e_ref = np.asarray(dense_edge_ok(dog_j[bb], 10.0))
 
-        raw_np = np.asarray(raw[bb])[:, : h - 2, : w - 2]
-        soft_np = np.asarray(soft[bb])[:, : h - 2, : w - 2]
-        assert (raw_np == m_ref).all()
-        assert (soft_np == soft_ref).all()
-        # Padding region must be inert.
-        assert not np.asarray(soft[bb])[:, h - 2 :, :].any()
-        assert not np.asarray(soft[bb])[:, :, w - 2 :].any()
+        # Counters match the dense sums; rows denser than ``slots`` are
+        # COUNTED as dropped (this synthetic field is ~20x denser than a
+        # real blurred DoG, so it exercises the overflow path too).
+        assert int(n_raw[bb]) == int(m_ref.sum())
+        assert int(n_soft[bb]) == int(soft_ref.sum())
+        per_row = soft_ref.sum(axis=2)  # [S-2, H-2]
+        want_drop = int(np.maximum(per_row - slots, 0).sum())
+        assert int(row_drop[bb]) == want_drop
 
-        f_np = np.asarray(fields[bb])[:, : h - 2, : w - 2]
+        # The compacted candidate set == the first ``slots``
+        # (column-ascending) soft positions of each (scale, row).
+        ok = np.asarray(slot_ok[bb])
+        cc = np.asarray(cand_col[bb])
+        got = set()
+        for ss in range(n_sc):
+            for r in range(ht):
+                n_ok = int(ok[ss, r].sum())
+                assert n_ok == min(per_row[ss, r] if r < h - 2 else 0, slots)
+                for sl in range(n_ok):
+                    got.add((ss, r, int(cc[ss, r, sl])))
+        want = set()
+        for ss in range(n_sc):
+            for r in range(h - 2):
+                cols = np.flatnonzero(soft_ref[ss, r])[:slots]
+                want.update((ss, r, int(ccol)) for ccol in cols)
+        assert got == want
+
         e_np = np.asarray(edge[bb])[:, : h - 2, : w - 2]
-        # Fields are only consumed where the refinement walk can land;
-        # compare where the reference values are finite (interior det!=0).
-        # rtol accommodates near-singular Hessians (det ~ 0): there the
-        # offsets blow past the 0.6 convergence bound by orders of
-        # magnitude and only their sign/magnitude class matters.
+        assert (e_np == e_ref).all()
+
+        # Taylor planes at every candidate position (what the walk
+        # starts from); rtol accommodates near-singular Hessians.
+        f_np = np.stack(
+            [np.asarray(p[bb])[:, : h - 2, : w - 2] for p in fields], axis=-1
+        )
         finite = np.isfinite(f_ref).all(-1)
+        sel = finite & soft_ref
+        np.testing.assert_allclose(
+            f_np[sel], f_ref[sel], rtol=5e-3, atol=1e-4
+        )
+        # ... and on the full finite interior (the walk can land anywhere).
         np.testing.assert_allclose(
             f_np[finite], f_ref[finite], rtol=5e-3, atol=1e-4
         )
-        assert (e_np == e_ref).all()
+
+        # The per-slot harvested values must equal the dense planes at
+        # each candidate position (iteration 1 reads these directly).
+        cf = [np.asarray(a[bb]) for a in cand_fields]
+        ce = np.asarray(cand_edge[bb])
+        for ss in range(n_sc):
+            for r in range(h - 2):
+                for sl in range(int(ok[ss, r].sum())):
+                    ccol = int(cc[ss, r, sl])
+                    if not np.isfinite(f_ref[ss, r, ccol]).all():
+                        continue
+                    for pidx in range(4):
+                        np.testing.assert_allclose(
+                            cf[pidx][ss, r, sl],
+                            f_ref[ss, r, ccol, pidx],
+                            rtol=5e-3,
+                            atol=1e-4,
+                        )
+                    assert ce[ss, r, sl] == e_ref[ss, r, ccol]
+
+
+def test_detect_octave_slots_tail_matches_xla():
+    """Full Pallas detection path (interpret kernel + slot-grid tail with
+    mover compaction) vs detect_octave: identical counters and identical
+    accepted-keypoint sets (position, subpixel offsets, sigma, value)."""
+    import functools
+
+    import jax
+
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas import detect as pd
+    from siftmetal_tpu.sift import detect as D
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(11)
+    b, s, h, w = 2, 5, 70, 150
+
+    # The two paths are only comparable when NEITHER overflows its
+    # (different-shaped) budget: the XLA path has a global candidate
+    # budget (256 at this shape), the slot path a per-row one. Build a
+    # SPARSE field: sub-threshold background + ~60 isolated separable
+    # bumps (all converge at iteration 1) + ~12 rejection-sampled
+    # neighborhoods whose first Taylor step exceeds the 0.6 bound, so
+    # the slot tail's MOVER compaction path is exercised too.
+    def taylor_offset(nb):
+        c = nb[1, 1, 1]
+        g = np.array([
+            0.5 * (nb[1, 2, 1] - nb[1, 0, 1]),
+            0.5 * (nb[1, 1, 2] - nb[1, 1, 0]),
+            0.5 * (nb[2, 1, 1] - nb[0, 1, 1]),
+        ])
+        hii = nb[1, 2, 1] + nb[1, 0, 1] - 2 * c
+        hjj = nb[1, 1, 2] + nb[1, 1, 0] - 2 * c
+        hss = nb[2, 1, 1] + nb[0, 1, 1] - 2 * c
+        hij = 0.25 * (nb[1, 2, 2] - nb[1, 2, 0] - nb[1, 0, 2] + nb[1, 0, 0])
+        his = 0.25 * (nb[2, 2, 1] - nb[2, 0, 1] - nb[0, 2, 1] + nb[0, 0, 1])
+        hjs = 0.25 * (nb[2, 1, 2] - nb[2, 1, 0] - nb[0, 1, 2] + nb[0, 1, 0])
+        hm = np.array([[hii, hij, his], [hij, hjj, hjs], [his, hjs, hss]])
+        try:
+            return -np.linalg.solve(hm, g)
+        except np.linalg.LinAlgError:
+            return None
+
+    def mover_neighborhood():
+        # Strict-max 3x3x3 whose quadratic step wants to move: the
+        # center only epsilon above its neighbors makes the Hessian
+        # near-singular (hit rate ~1%, so this loop is short).
+        while True:
+            nb = rng.normal(0, 0.05, (3, 3, 3))
+            nb[1, 1, 1] = np.abs(nb).max() * (1 + rng.uniform(0.001, 0.02))
+            o = taylor_offset(nb)
+            if o is not None and 0.7 < np.abs(o).max() < 5.0:
+                return nb
+
+    dog = rng.normal(0, 0.002, (b, s, h, w)).astype(np.float32)
+    # Non-colliding sites on a coarse grid (>=5 px apart).
+    sites = [(ii, jj) for ii in range(4, h - 4, 6) for jj in range(4, w - 4, 6)]
+    for bb in range(b):
+        picks = rng.permutation(len(sites))
+        for p in picks[:60]:
+            ii, jj = sites[p]
+            ss = int(rng.integers(1, s - 1))
+            amp = float(rng.uniform(0.05, 0.4) * rng.choice([-1.0, 1.0]))
+            wgt = lambda: np.array([rng.uniform(0.1, 0.95), 1.0,
+                                    rng.uniform(0.1, 0.95)])
+            dog[bb, ss - 1:ss + 2, ii - 1:ii + 2, jj - 1:jj + 2] += (
+                amp * np.einsum("i,j,k->ijk", wgt(), wgt(), wgt())
+            ).astype(np.float32)
+        for p in picks[60:72]:
+            ii, jj = sites[p]
+            ss = int(rng.integers(1, s - 1))
+            dog[bb, ss - 1:ss + 2, ii - 1:ii + 2, jj - 1:jj + 2] = (
+                mover_neighborhood().astype(np.float32)
+            )
+    dog_j = jnp.asarray(dog)
+
+    octave = 1
+    (cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+     n_extrema, n_soft, row_drop) = pd.detect_candidates_pallas(
+        dog_j, 0.8 * cfg.dog_threshold, cfg.edge_threshold,
+        tile_h=16, interpret=True,
+    )
+    k_move = 256
+    kp_p, ctr_p = jax.vmap(
+        lambda cc, ok, cf, ce, f, e, ne, ns, rd: D._octave_tail_slots(
+            cc, ok, cf, ce, f, e, octave, cfg, h, w, ne, ns, rd, k_move
+        )
+    )(cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+      n_extrema, n_soft, row_drop)
+
+    for bb in range(b):
+        kp_r, ctr_r = D.detect_octave(dog_j[bb], octave, cfg)
+        for key in ("n_extrema", "n_soft", "n_interp", "n_hard",
+                    "n_edge", "n_border", "overflow"):
+            assert int(ctr_p[key][bb]) == int(ctr_r[key]), (
+                key, int(ctr_p[key][bb]), int(ctr_r[key]))
+
+        def accepted(kp, idx=None):
+            sel = np.asarray(kp.pass_border if idx is None
+                             else kp.pass_border[idx])
+            pick = lambda a: np.asarray(a if idx is None else a[idx])[sel]
+            rows = set()
+            for t in zip(
+                pick(kp.scale), pick(kp.i), pick(kp.j),
+                np.round(pick(kp.x), 4), np.round(pick(kp.y), 4),
+                np.round(pick(kp.sigma), 4), np.round(pick(kp.value), 5),
+            ):
+                rows.add(tuple(float(v) for v in t))
+            return rows
+
+        assert accepted(kp_p, bb) == accepted(kp_r)
