@@ -52,6 +52,14 @@ def bench(q_n, t_n, iters=30):
 
 
 if __name__ == "__main__":
+    import sys
+
     print("backend:", jax.default_backend())
-    for q, t in [(2048, 2048), (4096, 8192), (4096, 65536)]:
-        bench(q, t)
+    sizes = [(2048, 2048), (4096, 8192), (4096, 65536)]
+    if "--map-scale" in sys.argv:
+        # The trie-removal measurement (PARITY.md): exact 2-NN vs a
+        # map-scale target set. 4096 x 1M uint8 descriptors = 128 MB of
+        # targets + a [4096, 1M] f32 distance pass.
+        sizes += [(4096, 262144), (4096, 1048576)]
+    for q, t in sizes:
+        bench(q, t, iters=10 if t > 100_000 else 30)

@@ -11,6 +11,7 @@ Optional env: BENCH_CONFIG=fast selects the delta_min=1 standard config.
 Stages default to all. Prints one JSON line per stage with ms/frame.
 """
 
+import dataclasses
 import json
 import os
 import pathlib
@@ -39,6 +40,16 @@ def main() -> None:
     config = (
         FAST_CONFIG if os.environ.get("BENCH_CONFIG") == "fast" else SiftConfig()
     )
+    # A/B knobs: BENCH_MXU=0 forces the VPU shift-add blur cascade,
+    # BENCH_PALLAS_DETECT=0 the XLA detection path.
+    if os.environ.get("BENCH_MXU") == "0":
+        config = dataclasses.replace(config, use_mxu_pyramid=False)
+    if os.environ.get("BENCH_PALLAS_DETECT") == "0":
+        config = dataclasses.replace(config, use_pallas_detect=False)
+    if os.environ.get("BENCH_ITER1") == "1":
+        # Isolate the refinement walk: iteration-1-only detection (the
+        # slot path then never gathers; NOT parity-correct, A/B only).
+        config = dataclasses.replace(config, max_interpolation_iterations=1)
     h, w = 480, 640
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -52,34 +63,14 @@ def main() -> None:
         gaussians, dogs = build_pyramid_batch(g, config, n_oct)
         return sum(jnp.sum(d) for d in dogs)
 
-    def detect_all(g):
-        _, dogs = build_pyramid_batch(g, config, n_oct)
-        per_octave = []
-        total = 0
-        for o in range(n_oct):
-            kp_b, ctr = jax.vmap(
-                lambda d, o=o: _detect.detect_octave(d, o, config)
-            )(dogs[o])
-            per_octave.append(kp_b)
-            total = total + jnp.sum(ctr["n_border"])
-        return dogs, per_octave, total
-
     def stage_detect(g):
-        _, _, total = detect_all(g)
-        return total
+        return extract_gray_batch(g, config, n_oct, _profile_stop="detect")
 
     def stage_compact(g):
-        dogs, per_octave, acc = detect_all(g)
-        for o in range(n_oct):
-            hh, ww = dogs[o].shape[-2], dogs[o].shape[-1]
-            budget = _detect.keypoint_budget(config, (hh, ww), o)
-            kpc, _ = jax.vmap(
-                lambda kp, o=o, budget=budget: _detect.compact_octave_keypoints(
-                    kp, o, config, budget
-                )
-            )(per_octave[o])
-            acc = acc + jnp.sum(kpc.valid)
-        return acc
+        return extract_gray_batch(g, config, n_oct, _profile_stop="compact")
+
+    def stage_orient(g):
+        return extract_gray_batch(g, config, n_oct, _profile_stop="orient")
 
     def stage_full(g):
         _, descs, counters = extract_gray_batch(g, config, n_oct)
@@ -89,56 +80,12 @@ def main() -> None:
             descs.features.astype(jnp.int32)
         )
 
-    def stage_mask(g):
-        _, dogs = build_pyramid_batch(g, config, n_oct)
-        acc = 0
-        for o in range(n_oct):
-            m = jax.vmap(_detect.extrema_mask)(dogs[o])
-            acc = acc + jnp.sum(m.astype(jnp.int32))
-        return acc
-
-    def stage_fields(g):
-        _, dogs = build_pyramid_batch(g, config, n_oct)
-        acc = 0.0
-        for o in range(n_oct):
-            f = jax.vmap(_detect.dense_taylor_fields)(dogs[o])
-            acc = acc + jnp.sum(f)
-        return acc
-
-    def stage_nonzero(g):
-        _, dogs = build_pyramid_batch(g, config, n_oct)
-        acc = 0
-        for o in range(n_oct):
-            hh, ww = dogs[o].shape[-2], dogs[o].shape[-1]
-            k = _detect.extrema_candidate_budget(config, (hh, ww))
-            m = jax.vmap(_detect.extrema_mask)(dogs[o])
-            idx, cnt, drp = jax.vmap(
-                lambda mm, k=k: _detect.masked_nonzero(
-                    mm.reshape(-1), k
-                )
-            )(m)
-            acc = acc + jnp.sum(cnt) + jnp.sum(idx[:, ::64])
-        return acc
-
-    def stage_edge(g):
-        _, dogs = build_pyramid_batch(g, config, n_oct)
-        acc = 0
-        for o in range(n_oct):
-            e = jax.vmap(
-                lambda d: _detect.dense_edge_ok(d, config.edge_threshold)
-            )(dogs[o])
-            acc = acc + jnp.sum(e.astype(jnp.int32))
-        return acc
-
     stages = {
         "seed": stage_seed,
         "pyramid": stage_pyramid,
-        "mask": stage_mask,
-        "fields": stage_fields,
-        "edge": stage_edge,
-        "nonzero": stage_nonzero,
         "detect": stage_detect,
         "compact": stage_compact,
+        "orient": stage_orient,
         "full": stage_full,
     }
 

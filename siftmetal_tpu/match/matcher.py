@@ -75,6 +75,40 @@ def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
+def pairwise_sq_dists_u8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [Q, D], [T, D] -> INTEGER-EXACT squared L2 [Q, T] int32.
+
+    The MXU runs int8 x int8 -> int32 at ~2x its bf16 rate (~12x the
+    6-pass HIGHEST fp32 path the float matcher needs for parity), but
+    uint8 values up to 255 don't fit int8. Centering fixes that exactly:
+
+        a.b = (a-128).(b-128) + 128*sum(a) + 128*sum(b) - 128^2 * D
+
+    with (a-128) in [-128, 127] and every term integer. Max d^2 =
+    D * 255^2 = 8,323,200 < 2^24, so the int32 result is also EXACTLY
+    representable in f32 downstream — matching becomes bit-identical
+    across backends, strictly better than the fp32 HIGHEST path's ~1e-6
+    rounding. This is why the reference's trie ANN has no TPU reason to
+    exist: exact 2-NN against 1M targets is a ~3 ms matmul (see
+    benchmarks/matching_bench.py; Utilities/Trie.swift:17-25 motivates
+    the trie by CPU scan cost).
+    """
+    d = a.shape[-1]
+    ac = (a.astype(jnp.int32) - 128).astype(jnp.int8)
+    bc = (b.astype(jnp.int32) - 128).astype(jnp.int8)
+    ab = jnp.dot(ac, bc.T, preferred_element_type=jnp.int32)
+    sa = jnp.sum(a.astype(jnp.int32), axis=-1, keepdims=True)      # [Q,1]
+    sb = jnp.sum(b.astype(jnp.int32), axis=-1, keepdims=True).T    # [1,T]
+    dot = ab + 128 * (sa + sb) - (128 * 128) * d
+    a2 = jnp.sum(
+        a.astype(jnp.int32) * a.astype(jnp.int32), axis=-1, keepdims=True
+    )
+    b2 = jnp.sum(
+        b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1, keepdims=True
+    ).T
+    return a2 + b2 - 2 * dot
+
+
 def _top2(d2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-row (best, second-best, argbest) of a [Q, T] distance matrix.
 
@@ -121,10 +155,20 @@ def match_bruteforce(
     ratio_threshold: float = 0.6,
 ) -> Matches:
     """Exact 2-NN matching of uint8 descriptor sets (thresholds on the
-    features/255 scale; defaults from SIFTDescriptor.swift:301-302)."""
-    q = raw_features(query_features)
-    t = raw_features(target_features)
-    d2 = pairwise_sq_dists(q, t)
+    features/255 scale; defaults from SIFTDescriptor.swift:301-302).
+
+    uint8 inputs take the integer-exact int8 MXU path
+    (pairwise_sq_dists_u8, ~12x the fp32 HIGHEST matmul rate and
+    bit-identical across backends); other dtypes fall back to the fp32
+    matmul."""
+    if query_features.dtype == jnp.uint8 and target_features.dtype == jnp.uint8:
+        d2 = pairwise_sq_dists_u8(query_features, target_features).astype(
+            jnp.float32
+        ) * (1.0 / (255.0 * 255.0))
+    else:
+        d2 = pairwise_sq_dists(
+            raw_features(query_features), raw_features(target_features)
+        )
     d2 = jnp.where(target_valid[None, :], d2, jnp.inf)
     b1, b2, idx = _top2(d2)
     return _accept(
@@ -152,9 +196,14 @@ def match_guided(
     missed. The gate replaces the ratio test (with few gated candidates
     a second-best distance is meaningless), so only the absolute
     threshold applies."""
-    q = raw_features(query_features)
-    t = raw_features(target_features)
-    d2 = pairwise_sq_dists(q, t)
+    if query_features.dtype == jnp.uint8 and target_features.dtype == jnp.uint8:
+        d2 = pairwise_sq_dists_u8(query_features, target_features).astype(
+            jnp.float32
+        ) * (1.0 / (255.0 * 255.0))
+    else:
+        d2 = pairwise_sq_dists(
+            raw_features(query_features), raw_features(target_features)
+        )
     gate = (
         jnp.sum(
             (query_uv[:, None, :] - target_uv[None, :, :]) ** 2, axis=-1

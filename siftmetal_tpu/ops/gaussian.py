@@ -17,11 +17,13 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def gaussian_taps(sigma: float) -> np.ndarray:
@@ -75,6 +77,86 @@ def _conv1d_sym(
         term = float(taps[k]) * v
         acc = term if acc is None else acc + term
     return acc.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix(sigma: float, n: int) -> np.ndarray:
+    """Dense [n_out, n_in] Toeplitz band for a 1-D Gaussian pass with the
+    half-sample-symmetric boundary FOLDED INTO the edge columns.
+
+    ``out[i] = sum_j T[i, j] * x[j]`` reproduces pad(symmetric)+shift-add
+    exactly (up to summation order): tap k of output i reads reflected
+    index ``reflect(i + k)`` where reflect is the period-2n triangle map
+    (handles radius > n, which tiny top octaves can hit)."""
+    taps = gaussian_taps(sigma).astype(np.float64)
+    r = len(taps) // 2
+    i = np.arange(n)[:, None]
+    k = np.arange(-r, r + 1)[None, :]
+    idx = np.mod(i + k, 2 * n)
+    idx = np.where(idx < n, idx, 2 * n - 1 - idx)
+    t = np.zeros((n, n), np.float64)
+    np.add.at(
+        t,
+        (np.repeat(np.arange(n), 2 * r + 1), idx.ravel()),
+        np.tile(taps, n),
+    )
+    return t.astype(np.float32)
+
+
+def blur_mxu(
+    image: jnp.ndarray, sigma: float, out_dtype=None
+) -> jnp.ndarray:
+    """Separable Gaussian blur as two banded-Toeplitz MATMULS (MXU path).
+
+    The shift-add reference (``blur``) is VPU work: ~20 fused
+    multiply-adds per pixel per pass, and the whole parity-config pyramid
+    costs ~6 ms/frame at 640x480 — the largest stage after the fused
+    detection kernel. Expressing each 1-D pass as ``image @ T`` moves it
+    to the MXU: fp32 inputs run at HIGHEST precision (6-pass bf16,
+    ~2e-6 relative error — far below the DoG threshold 0.0133 and the
+    fixtures' 1%% count tolerance), bf16 fast-mode inputs run at native
+    MXU bf16 with fp32 accumulation (the same read-bf16/accumulate-fp32
+    contract as the shift-add fast mode). The dense [n, n] band wastes
+    n/(2r+1) FLOPs vs the band width, but the MXU's ~2 orders higher
+    throughput more than covers it at every octave size.
+
+    Reference analogue: ConvolutionSeries.metal — redesigned for the MXU
+    rather than translated.
+    """
+    if sigma <= 0.0:
+        return image if out_dtype is None else image.astype(out_dtype)
+    if out_dtype is None:
+        out_dtype = image.dtype
+    h, w = image.shape[-2], image.shape[-1]
+    t_w = jnp.asarray(_band_matrix(float(sigma), w))
+    t_h = jnp.asarray(_band_matrix(float(sigma), h))
+    bf16 = image.dtype == jnp.bfloat16
+    if bf16:
+        t_w = t_w.astype(jnp.bfloat16)
+        t_h = t_h.astype(jnp.bfloat16)
+        prec = None  # native MXU bf16, fp32 accumulation
+    else:
+        prec = lax.Precision.HIGHEST
+    x = jnp.einsum(
+        "...hw,vw->...hv",
+        image,
+        t_w,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    if bf16:
+        # Mirror the shift-add fast mode: the intermediate the second
+        # pass READS is stored bf16; the final emit keeps the fp32
+        # accumulator (see ``blur`` docstring for why).
+        x = x.astype(jnp.bfloat16)
+    y = jnp.einsum(
+        "ij,...jw->...iw",
+        t_h,
+        x,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(out_dtype)
 
 
 def blur(image: jnp.ndarray, sigma: float, out_dtype=None) -> jnp.ndarray:

@@ -23,7 +23,7 @@ natural TPU data-parallel axis (SURVEY.md §2c, §7).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,14 +72,23 @@ def extract_gray_batch(
     grays: jnp.ndarray,
     config: SiftConfig,
     n_octaves: int,
+    _profile_stop: Optional[str] = None,
 ) -> Tuple[Keypoints, Descriptors, Dict[str, jnp.ndarray]]:
     """Full SIFT on a [B, H, W] grayscale batch. Returns batched pytrees
-    (leading [B] on every array) and per-frame counters."""
+    (leading [B] on every array) and per-frame counters.
+
+    ``_profile_stop`` is a benchmarking hook (benchmarks/stage_bench.py):
+    "pyramid" | "detect" | "compact" | "orient" truncate the pipeline
+    after that stage and return a scalar that depends on every value the
+    prefix computed (so XLA cannot dead-code-eliminate the stage under
+    test). Production callers leave it None."""
     b = grays.shape[0]
     use_pallas = _describe._use_pallas(config)
 
     with jax.named_scope("sift_pyramid"):
         gaussians, dogs = build_pyramid_batch(grays, config, n_octaves)
+    if _profile_stop == "pyramid":
+        return sum(jnp.sum(d) for d in dogs)
 
     per_octave = []
     counters: Dict[str, jnp.ndarray] = {}
@@ -89,7 +98,13 @@ def extract_gray_batch(
             per_octave.append(kp_b)
             for key, v in ctr.items():
                 counters[key] = counters.get(key, 0) + v
+    if _profile_stop == "detect":
+        return sum(
+            jnp.sum(jnp.where(kp.valid, kp.x + kp.y + kp.sigma, 0.0))
+            for kp in per_octave
+        ) + jnp.sum(counters["n_border"])
 
+    profile_acc = jnp.float32(0)
     kp_list, desc_rows = [], []
     lane_overflow = jnp.zeros((b,), jnp.int32)
     for o in range(n_octaves):
@@ -101,6 +116,11 @@ def extract_gray_batch(
             )
         )(per_octave[o])
         lane_overflow = lane_overflow + kp_dropped
+        if _profile_stop == "compact":
+            profile_acc = profile_acc + jnp.sum(
+                jnp.where(kpc.valid, kpc.x_oct + kpc.sigma_oct, 0.0)
+            ) + jnp.sum(kp_dropped).astype(jnp.float32)
+            continue
 
         if use_pallas:
             from ..ops.pallas.patches import prepare_patch_fields
@@ -135,6 +155,11 @@ def extract_gray_batch(
         )
         theta, ori_valid = _describe.orientation_peaks(hist, config)
         ori_valid = ori_valid & kpc.valid[:, :, None]
+        if _profile_stop == "orient":
+            profile_acc = profile_acc + jnp.sum(
+                jnp.where(ori_valid, theta, 0.0)
+            )
+            continue
 
         # Compact (keypoint, orientation) lanes per frame before the
         # descriptor stage (same budget math as the single-frame path).
@@ -201,6 +226,9 @@ def extract_gray_batch(
             )
         )
         kp_list.append(per_octave[o])
+
+    if _profile_stop in ("compact", "orient"):
+        return profile_acc
 
     keypoints, kp_dropped_global = jax.vmap(
         lambda *kps: _detect.gather_keypoints(kps, config)

@@ -164,10 +164,14 @@ def extrema_candidate_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
 def mover_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
     """Static lane budget for refinement-walk MOVERS (candidates whose
     first Taylor step exceeds the 0.6 re-centering bound). Measured at
-    640x480: <=150 movers/octave on both natural and noise frames vs the
-    ~1.2k budget this gives octave 0 — ~8x headroom, and overflow is
-    rejected-and-counted, never silent."""
-    return max(256, extrema_candidate_budget(config, shape) // 8)
+    640x480: <=150 movers/octave on both natural and noise frames, so
+    the ~384 lanes this gives octave 0 keep >2x headroom; overflow is
+    rejected-and-counted, never silent. Kept tight on purpose: the
+    mover walk's per-iteration plane gathers are TPU scalar gathers
+    whose cost scales with the BUDGET, not the live mover count
+    (measured 2.15 ms/frame at a 1.2k budget, ~8x headroom nobody
+    used)."""
+    return max(192, extrema_candidate_budget(config, shape) // 24)
 
 
 def masked_nonzero(

@@ -16,8 +16,16 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
-from ..ops.gaussian import blur
+from ..ops.gaussian import blur, blur_mxu
 from ..ops.image import decimate_2x, rgb_to_gray, upsample_bilinear_2x
+
+
+def _blur_fn(config: SiftConfig):
+    """Pick the blur backend: MXU banded-matmul on TPU (config gated),
+    VPU shift-add (the numeric reference) elsewhere."""
+    if config.use_mxu_pyramid and jax.default_backend() == "tpu":
+        return blur_mxu
+    return blur
 
 
 def seed_image(
@@ -39,7 +47,9 @@ def seed_image(
         scaled = upsample_bilinear_2x(gray)
     else:
         raise ValueError(f"unsupported delta_min {config.delta_min}")
-    return blur(scaled, config.seed_blur_sigma(), out_dtype=out_dtype)
+    return _blur_fn(config)(
+        scaled, config.seed_blur_sigma(), out_dtype=out_dtype
+    )
 
 
 def cascade_slices(
@@ -55,15 +65,16 @@ def cascade_slices(
     neighboring DoG samples into plateaus and the strict extrema test
     then drops ~1/3 of keypoints (measured; see ops/gaussian.blur)."""
     bf16 = config.pyramid_dtype == "bfloat16"
+    blur_ = _blur_fn(config)
     slices = [first.astype(jnp.float32) if bf16 else first]
     chain = first.astype(jnp.bfloat16) if bf16 else first
     for rho in config.incremental_sigmas(o):
         if bf16:
-            out = blur(chain, rho, out_dtype=jnp.float32)
+            out = blur_(chain, rho, out_dtype=jnp.float32)
             chain = out.astype(jnp.bfloat16)
             slices.append(out)
         else:
-            chain = blur(chain, rho)
+            chain = blur_(chain, rho)
             slices.append(chain)
     return slices
 

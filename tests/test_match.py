@@ -169,3 +169,28 @@ def test_masked_nonzero_dense_block_reports_drops():
     got = np.asarray(idx)[:16]
     assert set(got).issubset(set(range(100, 200)))
 
+
+
+def test_pairwise_sq_dists_u8_integer_exact():
+    """The int8-MXU distance decomposition must be INTEGER-EXACT vs a
+    direct int64 computation (any mismatch means the centering algebra
+    or an overflow is wrong)."""
+    from siftmetal_tpu.match.matcher import pairwise_sq_dists_u8
+
+    rng = np.random.default_rng(11)
+    # Include the extremes 0 and 255 (the centering's corner cases).
+    a = rng.integers(0, 256, (41, 128)).astype(np.uint8)
+    b = rng.integers(0, 256, (29, 128)).astype(np.uint8)
+    a[0, :] = 0
+    a[1, :] = 255
+    b[0, :] = 255
+    b[1, :] = 0
+    ref = (
+        (a.astype(np.int64)[:, None, :] - b.astype(np.int64)[None, :, :])
+        ** 2
+    ).sum(-1)
+    got = np.asarray(pairwise_sq_dists_u8(jnp.asarray(a), jnp.asarray(b)))
+    assert got.dtype == np.int32
+    assert (got == ref).all()
+    # Exactly representable in f32 downstream (max 128*255^2 < 2^24).
+    assert ref.max() < 2 ** 24

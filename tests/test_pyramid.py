@@ -7,6 +7,7 @@ asserted: every saved octave/scale of the Gaussian pyramid must match the
 IPOL-generated PNG to within quantization error.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -98,3 +99,46 @@ def test_dog_consistency(pyramid, o):
     # DoG magnitudes are small and signed.
     assert np.abs(dogs[o]).max() < 0.5
     assert dogs[o].min() < 0 < dogs[o].max()
+
+
+@pytest.mark.parametrize("sigma", [0.67, 1.6, 2.2])
+@pytest.mark.parametrize("shape", [(3, 64, 80), (17, 24)])
+def test_blur_mxu_matches_shift_add(sigma, shape):
+    """The MXU banded-matmul blur must reproduce the shift-add reference
+    (identical taps + boundary folding; on CPU both are fp32, so only
+    summation order differs)."""
+    from siftmetal_tpu.ops.gaussian import blur, blur_mxu
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+    ref = np.asarray(blur(x, sigma))
+    got = np.asarray(blur_mxu(x, sigma))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_blur_mxu_multi_reflection_tiny_image():
+    """Radius > n (tiny top octaves) exercises the period-2n triangle
+    reflection in the band matrix; the shift-add path's symmetric pad
+    covers the same case."""
+    from siftmetal_tpu.ops.gaussian import blur, blur_mxu
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (6, 7)).astype(np.float32))
+    sigma = 2.5  # radius 10 > 6
+    ref = np.asarray(blur(x, sigma))
+    got = np.asarray(blur_mxu(x, sigma))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_blur_mxu_bf16_contract():
+    """bf16 fast-mode inputs: output is the fp32 accumulator (not a
+    rounded bf16), matching the shift-add fast-mode contract."""
+    from siftmetal_tpu.ops.gaussian import blur, blur_mxu
+
+    rng = np.random.default_rng(5)
+    x32 = rng.uniform(0, 1, (32, 48)).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16)
+    got = blur_mxu(x, 1.1, out_dtype=jnp.float32)
+    assert got.dtype == jnp.float32
+    ref = np.asarray(blur(x, 1.1, out_dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=4e-3)
