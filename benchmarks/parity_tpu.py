@@ -6,8 +6,11 @@ compute path (fp32 shift-add convs, Pallas patch kernels) reproduces the
 IPOL golden fixtures on the actual chip.
 
 Usage: python benchmarks/parity_tpu.py   (from the repo root)
+Env: PARITY_BLUR_PRECISION=high validates the 3-pass MXU blur mode.
 """
 
+import dataclasses
+import os
 import pathlib
 import sys
 
@@ -33,7 +36,16 @@ def main() -> int:
 
     print("backend:", jax.default_backend())
     img = load_image(str(REPO / "tests/fixtures/butterfly.png"))
-    sift = SIFT(img.shape[0], img.shape[1])
+    from siftmetal_tpu.config import SiftConfig
+
+    config = SiftConfig()
+    if os.environ.get("PARITY_BLUR_PRECISION"):
+        config = dataclasses.replace(
+            config,
+            mxu_blur_precision=os.environ["PARITY_BLUR_PRECISION"],
+        )
+        print("mxu_blur_precision:", config.mxu_blur_precision)
+    sift = SIFT(img.shape[0], img.shape[1], config)
     kps, descs, counters = sift.extract(img)
 
     failures = []

@@ -104,7 +104,7 @@ def _band_matrix(sigma: float, n: int) -> np.ndarray:
 
 
 def blur_mxu(
-    image: jnp.ndarray, sigma: float, out_dtype=None
+    image: jnp.ndarray, sigma: float, out_dtype=None, precision="highest"
 ) -> jnp.ndarray:
     """Separable Gaussian blur as two banded-Toeplitz MATMULS (MXU path).
 
@@ -136,7 +136,11 @@ def blur_mxu(
         t_h = t_h.astype(jnp.bfloat16)
         prec = None  # native MXU bf16, fp32 accumulation
     else:
-        prec = lax.Precision.HIGHEST
+        prec = (
+            lax.Precision.HIGH
+            if precision == "high"
+            else lax.Precision.HIGHEST
+        )
     x = jnp.einsum(
         "...hw,vw->...hv",
         image,

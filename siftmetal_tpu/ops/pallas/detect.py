@@ -57,10 +57,7 @@ def _detect_kernel(
     c_os_ref,
     c_val_ref,
     c_edge_ref,
-    foi_ref,
-    foj_ref,
-    fos_ref,
-    fval_ref,
+    fpk_ref,
     edge_ref,
     rawc_ref,
     softc_ref,
@@ -185,13 +182,17 @@ def _detect_kernel(
         ofst_i = -(aa * gi + ab * gj + ac * gs)
         ofst_j = -(ab * gi + bb * gj + bc2 * gs)
         ofst_s = -(ac * gi + bc2 * gj + cc * gs)
-        foi_ref[0, s - 1, :, :] = ofst_i
-        foj_ref[0, s - 1, :, :] = ofst_j
-        fos_ref[0, s - 1, :, :] = ofst_s
         fval_keep = c + 0.5 * (
             gi * ofst_i + gj * ofst_j + gs * ofst_s
         )
-        fval_ref[0, s - 1, :, :] = fval_keep
+        # The four Taylor planes land in ONE packed [S-2, 4, Ht, Wp]
+        # array so each mover-walk iteration downstream is a single
+        # 4k-index gather instead of four separate gather ops (TPU
+        # gathers carry large fixed per-op cost).
+        fpk_ref[0, s - 1, 0, :, :] = ofst_i
+        fpk_ref[0, s - 1, 1, :, :] = ofst_j
+        fpk_ref[0, s - 1, 2, :, :] = ofst_s
+        fpk_ref[0, s - 1, 3, :, :] = fval_keep
 
         # -- IPOL edge-response acceptance (dense_edge_ok) ---------------
         edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
@@ -273,9 +274,10 @@ def detect_candidates_pallas(
         these instead of gathering from the dense planes;
       * ``cand_edge`` [B, S-2, Ht, slots] bool — edge acceptance at each
         candidate (valid for walks that never move);
-      * ``fields`` — tuple of four [B, S-2, Ht, Wp] f32 planes
-        (ofst_i, ofst_j, ofst_s, value), plane (s, r, c) describing DoG
-        center (s+1, r+1, c+1) — only candidates that MOVE gather here;
+      * ``fields`` — PACKED [B, S-2, 4, Ht, Wp] f32 Taylor planes
+        (q = ofst_i, ofst_j, ofst_s, value), plane (s, q, r, c)
+        describing DoG center (s+1, r+1, c+1) — only candidates that
+        MOVE gather here, one 4k-index gather per walk iteration;
       * ``edge_ok`` [B, S-2, Ht, Wp] bool;
       * ``n_raw`` / ``n_soft`` [B] i32 — raw/soft extrema totals;
       * ``n_row_dropped`` [B] i32 — soft extrema lost to per-row slot
@@ -310,7 +312,7 @@ def detect_candidates_pallas(
 
     (
         cand, ok, c_oi, c_oj, c_os, c_val, c_edge,
-        foi, foj, fos, fval, edge, rawc, softc, dropc,
+        fpk, edge, rawc, softc, dropc,
     ) = pl.pallas_call(
         functools.partial(
             _detect_kernel,
@@ -333,10 +335,11 @@ def detect_candidates_pallas(
             plane(slots),
             plane(slots),
             plane(slots),
-            plane(wp),
-            plane(wp),
-            plane(wp),
-            plane(wp),
+            pl.BlockSpec(
+                (1, n_scales, 4, tile_h, wp),
+                lambda bb, t: (bb, 0, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
             plane(wp),
             scalar_spec,
             scalar_spec,
@@ -350,10 +353,7 @@ def detect_candidates_pallas(
             pshape(jnp.float32, slots),
             pshape(jnp.float32, slots),
             pshape(jnp.int8, slots),
-            pshape(jnp.float32, wp),
-            pshape(jnp.float32, wp),
-            pshape(jnp.float32, wp),
-            pshape(jnp.float32, wp),
+            jax.ShapeDtypeStruct((b, n_scales, 4, ht, wp), jnp.float32),
             pshape(jnp.int8, wp),
             scalar_shape,
             scalar_shape,
@@ -374,7 +374,7 @@ def detect_candidates_pallas(
         ok.astype(bool),
         (c_oi, c_oj, c_os, c_val),
         c_edge.astype(bool),
-        (foi, foj, fos, fval),
+        fpk,
         edge.astype(bool),
         jnp.sum(rawc, axis=(1, 2, 3)),
         jnp.sum(softc, axis=(1, 2, 3)),

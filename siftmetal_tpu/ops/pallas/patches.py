@@ -40,6 +40,7 @@ VMEM-resident tiles).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -97,22 +98,35 @@ class PatchFields(NamedTuple):
     s_per_frame: int   # gradient slices per frame (n_scales_per_octave)
 
 
+def _window_geometry(r: int) -> Tuple[int, int, int]:
+    """(dma_rows, dma_cols, comp_rows) for a patch of radius ``r``: the
+    true patch (2r+1) plus up to 7 rows / 127 cols of alignment slack."""
+    rows = (2 * r + 1 + 7 + 7) // 8 * 8
+    cols = (2 * r + 1 + 127 + 127) // 128 * 128
+    comp = (2 * r + 1 + 7) // 8 * 8
+    assert 2 * r + 1 <= 128, "patch must fit one lane tile"
+    return rows, cols, comp
+
+
 def _desc_geometry(config: SiftConfig) -> Tuple[int, int]:
-    """(dma_rows, dma_cols) of the descriptor window: the true patch
-    (2r+1) plus up to 7 rows / 127 cols of alignment slack."""
-    r = config.desc_patch_radius
-    rows = (2 * r + 1 + 7 + 7) // 8 * 8
-    cols = (2 * r + 1 + 127 + 127) // 128 * 128
-    assert 2 * r + 1 <= 128, "descriptor patch must fit one lane tile"
+    rows, cols, _ = _window_geometry(config.desc_patch_radius)
     return rows, cols
 
 
-def _ori_geometry(config: SiftConfig) -> Tuple[int, int]:
-    r = config.ori_patch_radius
-    rows = (2 * r + 1 + 7 + 7) // 8 * 8
-    cols = (2 * r + 1 + 127 + 127) // 128 * 128
-    assert 2 * r + 1 <= 128, "orientation patch must fit one lane tile"
-    return rows, cols
+def _radius_buckets(max_radius: int) -> Tuple[int, ...]:
+    """Static window-size buckets covering radii up to ``max_radius``.
+
+    Both patch kernels' DMA bytes AND per-lane vector work scale with
+    the static window, but the window is sized for sigma_oct_max while
+    the keypoint population is bottom-heavy (most detections at the
+    finest scales: radius ~0.3-0.5x the max). 2-3 size buckets with
+    per-lane routing cut the average window ~2x; lanes land in the
+    smallest bucket whose window holds their true patch."""
+    if max_radius <= 16:
+        return (max_radius,)
+    r1 = max(8, (2 * max_radius + 2) // 5)   # ~0.4x: the fine-scale bulk
+    r2 = (7 * max_radius + 9) // 10          # ~0.7x
+    return (r1, r2, max_radius)
 
 
 def prepare_patch_fields(gauss: jnp.ndarray, config: SiftConfig) -> PatchFields:
@@ -356,53 +370,77 @@ def descriptor_lanes_pallas(
     ``fields`` comes from :func:`prepare_patch_fields` (shared with the
     orientation stage). ``valid`` (dynamic, per lane) gates DMA+compute;
     invalid lanes return zeros. ``frame`` gives each lane's frame index
-    when fields are batched."""
-    radius = config.desc_patch_radius
-    dma_rows, dma_cols = _desc_geometry(config)
-    comp_rows = (2 * radius + 1 + 7) // 8 * 8
-
+    when fields are batched. Lanes are routed to 2-3 sigma-bucketed
+    window sizes (see :func:`_radius_buckets`); each lane computes in
+    the smallest static window that holds its true patch."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
-    row0, c0, u0, v0, valid_i32 = _lane_prep(
-        fields, scale, x_oct, y_oct, radius, frame, valid
-    )
+    if valid is None:
+        valid = jnp.ones((l,), bool)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
-        grid=(l // GROUP,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (GROUP * 16, 128),
-            lambda g, *_: (g, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, GROUP)),
-        ],
+    def run(radius: int, valid_b: jnp.ndarray) -> jnp.ndarray:
+        dma_rows, dma_cols, comp_rows = _window_geometry(radius)
+        assert dma_rows - radius <= fields.rpad, (radius, fields.rpad)
+        row0, c0, u0, v0, valid_i32 = _lane_prep(
+            fields, scale, x_oct, y_oct, radius, frame, valid_b
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=9,
+            grid=(l // GROUP,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (GROUP * 16, 128),
+                lambda g, *_: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
+                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, GROUP)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _descriptor_kernel,
+                dma_rows=dma_rows,
+                dma_cols=dma_cols,
+                comp_rows=comp_rows,
+                n_hist=config.n_histograms_per_axis,
+                n_ori=config.n_descriptor_bins,
+                lam=config.descriptor_lambda,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((l * 16, 128), jnp.float32),
+            interpret=interpret,
+        )(
+            valid_i32, row0, c0, u0, v0,
+            x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
+            fields.gi, fields.gj,
+        )
+
+    # Pixel reach of a lane's patch: sqrt(2) * half-extent * sigma, plus
+    # 0.5 for the rounded center (must mirror the kernel's |xr| < half
+    # cutoff; the catch-all bucket takes any remainder).
+    half = (
+        config.descriptor_lambda
+        * (config.n_histograms_per_axis + 1)
+        / config.n_histograms_per_axis
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _descriptor_kernel,
-            dma_rows=dma_rows,
-            dma_cols=dma_cols,
-            comp_rows=comp_rows,
-            n_hist=config.n_histograms_per_axis,
-            n_ori=config.n_descriptor_bins,
-            lam=config.descriptor_lambda,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((l * 16, 128), jnp.float32),
-        interpret=interpret,
-    )(
-        valid_i32, row0, c0, u0, v0,
-        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
-        fields.gi, fields.gj,
-    )
+    reach = math.sqrt(2.0) * half * sigma_oct + 0.5
+    remaining = valid
+    out = None
+    for r_b in _radius_buckets(config.desc_patch_radius):
+        if r_b == config.desc_patch_radius:
+            m_b = remaining
+        else:
+            m_b = remaining & (reach <= r_b)
+            remaining = remaining & ~m_b
+        o = run(r_b, m_b)
+        out = o if out is None else out + o
+
     # [L*16, 128] -> [L, 16, 8] -> [L, 128]
     return out.reshape(l, 16, 128)[:, :, :config.n_descriptor_bins].reshape(
         l, -1
@@ -515,48 +553,64 @@ def orientation_hist_lanes_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Raw (un-smoothed) [L, n_bins] orientation histograms via Pallas.
-    Same fields/valid/frame contract as :func:`descriptor_lanes_pallas`."""
-    radius = config.ori_patch_radius
-    dma_rows, dma_cols = _ori_geometry(config)
-    comp_rows = (2 * radius + 1 + 7) // 8 * 8
-
+    Same fields/valid/frame/bucketing contract as
+    :func:`descriptor_lanes_pallas`."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
-    row0, c0, u0, v0, valid_i32 = _lane_prep(
-        fields, scale, x_oct, y_oct, radius, frame, valid
-    )
+    if valid is None:
+        valid = jnp.ones((l,), bool)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(l // GROUP,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-            pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, GROUP)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _orientation_kernel,
-            dma_rows=dma_rows,
-            dma_cols=dma_cols,
-            comp_rows=comp_rows,
-            n_bins=config.n_orientation_bins,
-            lam=config.orientation_lambda,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
-        interpret=interpret,
-    )(
-        valid_i32, row0, c0, u0, v0,
-        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
-        fields.gi, fields.gj,
-    )
+    def run(radius: int, valid_b: jnp.ndarray) -> jnp.ndarray:
+        dma_rows, dma_cols, comp_rows = _window_geometry(radius)
+        assert dma_rows - radius <= fields.rpad, (radius, fields.rpad)
+        row0, c0, u0, v0, valid_i32 = _lane_prep(
+            fields, scale, x_oct, y_oct, radius, frame, valid_b
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(l // GROUP,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
+                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, GROUP)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _orientation_kernel,
+                dma_rows=dma_rows,
+                dma_cols=dma_cols,
+                comp_rows=comp_rows,
+                n_bins=config.n_orientation_bins,
+                lam=config.orientation_lambda,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
+            interpret=interpret,
+        )(
+            valid_i32, row0, c0, u0, v0,
+            x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
+            fields.gi, fields.gj,
+        )
+
+    # Mirror the kernel's |dm|,|dn| <= 3*lam*sigma cutoff (+0.5 for the
+    # rounded center).
+    reach = 3.0 * config.orientation_lambda * sigma_oct + 0.5
+    remaining = valid
+    out = None
+    for r_b in _radius_buckets(config.ori_patch_radius):
+        if r_b == config.ori_patch_radius:
+            m_b = remaining
+        else:
+            m_b = remaining & (reach <= r_b)
+            remaining = remaining & ~m_b
+        o = run(r_b, m_b)
+        out = o if out is None else out + o
     return out[:, :config.n_orientation_bins]

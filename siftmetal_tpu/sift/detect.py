@@ -329,8 +329,48 @@ def dense_edge_ok(dog: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
     return jnp.abs(edge_resp) <= (r + 1.0) ** 2 / r
 
 
-def _refine_batched(
+def _plane_lookup(
     fields: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+):
+    """Taylor lookup over a tuple of separate [S-2, Hp, Wp] planes
+    (XLA detection path): four batched row gathers per call."""
+    foi, foj, fos, fval = fields
+
+    def lookup(s, i, j):
+        return (
+            foi[s - 1, i - 1, j - 1],
+            foj[s - 1, i - 1, j - 1],
+            fos[s - 1, i - 1, j - 1],
+            fval[s - 1, i - 1, j - 1],
+        )
+
+    return lookup, foi.shape[0]
+
+
+def _packed_lookup(fields: jnp.ndarray):
+    """Taylor lookup over the kernel's PACKED [S-2, 4, Hp, Wp] planes:
+    ONE flat gather per call (TPU gathers carry a large fixed per-op
+    cost, so 4 quantities x K lanes ride a single [4K] index vector)."""
+    s_max, _, hp, wp = fields.shape
+    flat = fields.reshape(-1)
+    step = hp * wp
+
+    def lookup(s, i, j):
+        idx0 = ((s - 1) * 4 * hp + (i - 1)) * wp + (j - 1)
+        g = flat[
+            jnp.concatenate(
+                [idx0, idx0 + step, idx0 + 2 * step, idx0 + 3 * step]
+            )
+        ]
+        k = s.shape[0]
+        return g[:k], g[k:2 * k], g[2 * k:3 * k], g[3 * k:]
+
+    return lookup, s_max
+
+
+def _refine_batched(
+    lookup,
+    s_max: int,
     s0: jnp.ndarray,
     i0: jnp.ndarray,
     j0: jnp.ndarray,
@@ -342,14 +382,10 @@ def _refine_batched(
 ):
     """IPOL refinement walk for all candidates at once.
 
-    ``fields`` is the tuple of dense Taylor planes (ofst_i, ofst_j,
-    ofst_s, value), each [S-2, Hp, Wp] — kept as SEPARATE planes so the
-    producer never materializes a [..., 4] re-stack (59 MB of pure
-    re-layout traffic per frame at 640x480). Each iteration is four
-    batched [K] row gathers; moves are clamped to the interior exactly
+    ``lookup(s, i, j) -> (ofst_i, ofst_j, ofst_s, value)`` reads the
+    dense Taylor planes (see :func:`_plane_lookup` /
+    :func:`_packed_lookup`); moves are clamped to the interior exactly
     like the per-candidate version."""
-    foi, foj, fos, fval = fields
-    s_max = foi.shape[0]  # interior scales
     mo = jnp.float32(max_offset)
     k = s0.shape[0]
     zeros = jnp.zeros((k,), dtype=jnp.float32)
@@ -357,10 +393,7 @@ def _refine_batched(
 
     def body(_, carry):
         s, i, j, conv, done, oi, oj, os_, val = carry
-        noi = foi[s - 1, i - 1, j - 1]
-        noj = foj[s - 1, i - 1, j - 1]
-        nos = fos[s - 1, i - 1, j - 1]
-        nval = fval[s - 1, i - 1, j - 1]
+        noi, noj, nos, nval = lookup(s, i, j)
         nconv = (
             (jnp.abs(noi) < mo) & (jnp.abs(noj) < mo) & (jnp.abs(nos) < mo)
         )
@@ -424,8 +457,10 @@ def _octave_tail(
 
     cand_valid = jnp.arange(k) < n_cand
 
+    lookup, s_max = _plane_lookup(fields)
     s_f, i_f, j_f, conv, oi, oj, os_, val = _refine_batched(
-        fields,
+        lookup,
+        s_max,
         s_idx,
         i_idx,
         j_idx,
@@ -520,7 +555,7 @@ def _octave_tail_slots(
     slot_ok: jnp.ndarray,
     cand_fields: Tuple[jnp.ndarray, ...],
     cand_edge: jnp.ndarray,
-    fields: Tuple[jnp.ndarray, ...],
+    fields: jnp.ndarray,
     edge_field: jnp.ndarray,
     octave: int,
     config: SiftConfig,
@@ -537,14 +572,15 @@ def _octave_tail_slots(
     edge flag AT each candidate, so the common case (|offsets| < 0.6 at
     the discrete extremum — 72-84%% of candidates, measured) finishes
     with ZERO dense-plane gathers. Only candidates that MOVE are
-    compacted into ``k_move`` lanes and walk the remaining
-    ``max_interpolation_iterations - 1`` steps with per-lane gathers;
+    compacted into ``k_move`` lanes (blocked rank arithmetic, no
+    m-sized scatter) and walk the remaining iterations with ONE packed
+    gather each (``fields`` is the packed [S-2, 4, Hp, Wp] stack);
     movers past the budget are rejected-and-counted (``overflow``).
 
-    Keypoint slots are the flattened [S-2, Ht, slots] grid itself —
-    there is no intermediate candidate-budget compaction; downstream
-    per-octave compaction (compact_octave_keypoints) handles the grid
-    directly.
+    The returned keypoint slots are the [m] grid lanes (movers masked
+    out as non-converged there) CONCATENATED with the [k_move] mover
+    lanes — no scatter back into the grid; downstream per-octave
+    compaction handles the combined padded set directly.
     """
     n_sc, ht, slots = cand_col.shape
     m = n_sc * ht * slots
@@ -567,7 +603,14 @@ def _octave_tail_slots(
             edge1, row_drop, octave, config, h, w, n_extrema, n_soft,
         )
 
-    # Movers: exact move-clamp logic of _refine_batched.
+    # Grid lanes: iteration-1 converged candidates accept right here;
+    # movers are excluded (cand_valid False) and handled below.
+    kp_g, ctr_g = _acceptance(
+        ok & conv1, s_idx, i_idx, j_idx, conv1 & ok, oi1, oj1, os1, val1,
+        edge1, row_drop, octave, config, h, w, n_extrema, n_soft,
+    )
+
+    # Movers: exact move-clamp logic of _refine_batched, iteration 1.
     di = jnp.where((oi1 > mo) & (i_idx + 1 <= h - 2), 1, 0) + jnp.where(
         (oi1 < -mo) & (i_idx - 1 >= 1), -1, 0
     )
@@ -578,14 +621,21 @@ def _octave_tail_slots(
         (os1 < -mo) & (s_idx - 1 >= 1), -1, 0
     )
     move = ok & ~conv1
-    order, n_mov, mov_drop = compact_indices(move, k_move)
+    # masked_nonzero, not compact_indices: the latter's cumsum+scatter
+    # over all m slot lanes costs ~1 ms/frame batched (fixed in m, not
+    # in the live mover count); the blocked rank arithmetic only
+    # scatters the [m/block, slots] survivors. Movers are ~0.3% of
+    # lanes, far under the block-slot density budget (overflow counted).
+    order, n_mov, mov_drop = masked_nonzero(move, k_move)
     mv_valid = jnp.arange(k_move) < n_mov
 
+    lookup, _ = _packed_lookup(fields)
     s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m = _refine_batched(
-        fields,
-        (s_idx + ds)[order],
-        (i_idx + di)[order],
-        (j_idx + dj)[order],
+        lookup,
+        s_max,
+        jnp.where(mv_valid, (s_idx + ds)[order], 1),
+        jnp.where(mv_valid, (i_idx + di)[order], 1),
+        jnp.where(mv_valid, (j_idx + dj)[order], 1),
         h,
         w,
         max_iterations=config.max_interpolation_iterations - 1,
@@ -593,25 +643,24 @@ def _octave_tail_slots(
     )
     edge_m = edge_field[s_m - 1, i_m - 1, j_m - 1]
 
-    # Scatter mover results back into the slot grid (movers past k_move
-    # keep their iteration-1 state: conv stays False -> rejected, and
-    # their count lands in the overflow counter).
-    tgt = jnp.where(mv_valid, order, m)
-    upd = lambda base, v: base.at[tgt].set(v, mode="drop")
-    s_f = upd(s_idx, s_m)
-    i_f = upd(i_idx, i_m)
-    j_f = upd(j_idx, j_m)
-    conv = upd(conv1, conv_m)
-    oi = upd(oi1, oi_m)
-    oj = upd(oj1, oj_m)
-    os_ = upd(os1, os_m)
-    val = upd(val1, val_m)
-    edge_ok = upd(edge1, edge_m)
-
-    return _acceptance(
-        ok, s_f, i_f, j_f, conv & ok, oi, oj, os_, val, edge_ok,
-        row_drop + mov_drop, octave, config, h, w, n_extrema, n_soft,
+    kp_m, ctr_m = _acceptance(
+        mv_valid, s_m, i_m, j_m, conv_m & mv_valid, oi_m, oj_m, os_m,
+        val_m, edge_m, mov_drop, octave, config, h, w,
+        jnp.zeros_like(n_extrema), jnp.zeros_like(n_soft),
     )
+
+    kp = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), kp_g, kp_m
+    )
+    counters = {
+        key: (
+            ctr_g[key] + ctr_m[key]
+            if key in ("n_interp", "n_hard", "n_edge", "n_border", "overflow")
+            else ctr_g[key]
+        )
+        for key in ctr_g
+    }
+    return kp, counters
 
 
 def detect_octave(

@@ -24,7 +24,11 @@ def _blur_fn(config: SiftConfig):
     """Pick the blur backend: MXU banded-matmul on TPU (config gated),
     VPU shift-add (the numeric reference) elsewhere."""
     if config.use_mxu_pyramid and jax.default_backend() == "tpu":
-        return blur_mxu
+        import functools
+
+        return functools.partial(
+            blur_mxu, precision=config.mxu_blur_precision
+        )
     return blur
 
 

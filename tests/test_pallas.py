@@ -265,8 +265,9 @@ def test_detect_candidates_pallas_matches_xla():
 
         # Taylor planes at every candidate position (what the walk
         # starts from); rtol accommodates near-singular Hessians.
-        f_np = np.stack(
-            [np.asarray(p[bb])[:, : h - 2, : w - 2] for p in fields], axis=-1
+        # ``fields`` is the packed [S-2, 4, Ht, Wp] stack.
+        f_np = np.moveaxis(
+            np.asarray(fields[bb])[:, :, : h - 2, : w - 2], 1, -1
         )
         finite = np.isfinite(f_ref).all(-1)
         sel = finite & soft_ref
