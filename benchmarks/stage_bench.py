@@ -72,6 +72,9 @@ def main() -> None:
     def stage_orient(g):
         return extract_gray_batch(g, config, n_oct, _profile_stop="orient")
 
+    def stage_describe(g):
+        return extract_gray_batch(g, config, n_oct, _profile_stop="describe")
+
     def stage_full(g):
         _, descs, counters = extract_gray_batch(g, config, n_oct)
         # Sum over the feature bytes so the descriptor stage cannot be
@@ -86,6 +89,7 @@ def main() -> None:
         "detect": stage_detect,
         "compact": stage_compact,
         "orient": stage_orient,
+        "describe": stage_describe,
         "full": stage_full,
     }
 

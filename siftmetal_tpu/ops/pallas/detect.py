@@ -257,7 +257,7 @@ def detect_candidates_pallas(
     soft_threshold: float,
     edge_threshold: float,
     tile_h: int = 128,
-    slots: int = 16,
+    slots: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """[B, S, H, W] DoG -> fused detection with in-kernel compaction.

@@ -86,12 +86,14 @@ def _atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 class PatchFields(NamedTuple):
     """Padded per-octave gradient fields shared by the orientation and
-    descriptor kernels. ``gi``/``gj`` are [(B*)S*Hp, Wp] row/col gradient
-    planes; geometry is sized for the larger (descriptor) patch so one
-    preparation serves both stages."""
+    descriptor kernels. ``g`` stacks the row/col gradient planes as ONE
+    [2, (B*)S*Hp, Wp] array so each lane's window is a SINGLE async
+    copy — per-group DMA issue overhead (16 descriptor programs/group)
+    was the patch stages' measured bottleneck, not bandwidth. Geometry
+    is sized for the larger (descriptor) patch so one preparation
+    serves both stages."""
 
-    gi: jnp.ndarray
-    gj: jnp.ndarray
+    g: jnp.ndarray
     hp: int            # padded rows per scale slice
     rpad: int          # top padding of each slice (>= desc radius + 8)
     cpad: int          # left padding (>= desc radius, multiple of 128)
@@ -129,6 +131,22 @@ def _radius_buckets(max_radius: int) -> Tuple[int, ...]:
     return (r1, r2, max_radius)
 
 
+def _group_buckets(
+    reach: jnp.ndarray, valid: jnp.ndarray, buckets: Tuple[int, ...]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-GROUP bucket index (int32 [L/GROUP]) + per-lane window radius
+    (int32 [L]). A group takes the smallest bucket whose radius covers
+    every VALID lane's reach (invalid lanes count as zero reach)."""
+    r = jnp.where(valid, reach, 0.0)
+    gmax = r.reshape(-1, GROUP).max(axis=1)
+    gb = jnp.zeros(gmax.shape, jnp.int32)
+    for rad in buckets[:-1]:
+        gb = gb + (gmax > rad).astype(jnp.int32)
+    radii = jnp.asarray(buckets, jnp.int32)
+    radius_l = jnp.repeat(radii[gb], GROUP)
+    return gb, radius_l
+
+
 def prepare_patch_fields(gauss: jnp.ndarray, config: SiftConfig) -> PatchFields:
     """Compute + pad gradient fields once per octave (or per batched
     octave). ``gauss`` is [S, H, W] or [B, S, H, W]."""
@@ -156,7 +174,11 @@ def prepare_patch_fields(gauss: jnp.ndarray, config: SiftConfig) -> PatchFields:
         return jnp.pad(a, widths).reshape(-1, wp)
 
     return PatchFields(
-        gi=pad(gi), gj=pad(gj), hp=hp, rpad=rpad, cpad=cpad, s_per_frame=s
+        g=jnp.stack([pad(gi), pad(gj)]),
+        hp=hp,
+        rpad=rpad,
+        cpad=cpad,
+        s_per_frame=s,
     )
 
 
@@ -171,11 +193,13 @@ def _lane_prep(
 ):
     """DMA window starts + patch-origin coordinates for each lane.
 
-    Returns (row0, c0, u0, v0, valid_i32). row0/c0 are the aligned DMA
-    origin in the flattened field and (u0, v0) is the true patch origin
-    (ci - radius, cj - radius) in padded-slice coordinates. Coordinates
-    of INVALID lanes are clamped to a safe in-range window so garbage
-    slot values can never drive an out-of-bounds DMA."""
+    ``radius`` may be a python int or a per-lane int32 array (per-group
+    window buckets). Returns (row0, c0, u0, v0, valid_i32). row0/c0 are
+    the aligned DMA origin in the flattened field and (u0, v0) is the
+    true patch origin (ci - radius, cj - radius) in padded-slice
+    coordinates. Coordinates of INVALID lanes are clamped to a safe
+    in-range window so garbage slot values can never drive an
+    out-of-bounds DMA."""
     l = scale.shape[0]
     if valid is None:
         valid_i32 = jnp.ones((l,), jnp.int32)
@@ -183,8 +207,9 @@ def _lane_prep(
         valid_i32 = valid.astype(jnp.int32)
     ok = valid_i32 != 0
     scale = jnp.where(ok, scale, 1)
-    x_oct = jnp.where(ok, x_oct, jnp.float32(radius))
-    y_oct = jnp.where(ok, y_oct, jnp.float32(radius))
+    radius_f = jnp.asarray(radius, jnp.float32)
+    x_oct = jnp.where(ok, x_oct, radius_f)
+    y_oct = jnp.where(ok, y_oct, radius_f)
     ci = jnp.round(x_oct).astype(jnp.int32) + fields.rpad
     cj = jnp.round(y_oct).astype(jnp.int32) + fields.cpad
     u0 = ci - radius
@@ -210,39 +235,43 @@ def _compact_window(buf, shift_r, shift_c, comp_rows, dma_rows, dma_cols):
 
 def _descriptor_kernel(
     # scalar prefetch
-    valid_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref, sig_ref,
-    th_ref,
+    valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
+    sig_ref, th_ref,
     # inputs
-    gi_hbm, gj_hbm,
+    g_hbm,
     # output
     out_ref,
     # scratch
-    pgi, pgj, sems,
+    pg, sems,
     *,
-    dma_rows, dma_cols, comp_rows, n_hist, n_ori, lam,
+    geoms, n_hist, n_ori, lam,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
-    def dma(grp, sl, u, src, dest, sem_bank):
+    def dma(grp, sl, u, dma_rows, dma_cols):
+        # ONE copy per lane: both gradient planes ride the leading dim.
         l = grp * GROUP + u
         base = pl.multiple_of(row0_ref[l], 8)
         c0 = pl.multiple_of(c0_ref[l], 128)
         return pltpu.make_async_copy(
-            src.at[pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
-            dest.at[sl, u],
-            sems.at[sem_bank, sl, u],
+            g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
+            pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
+            sems.at[sl, u],
         )
 
     def start_group(grp, sl):
-        # Only valid lanes transfer; invalid lanes are skipped entirely.
-        for u in range(GROUP):
-            @pl.when(valid_ref[grp * GROUP + u] != 0)
+        # Per-GROUP window size (lanes arrive scale-major, so groups are
+        # radius-homogeneous); only valid lanes transfer.
+        for b, (rows_b, cols_b, _, _) in enumerate(geoms):
+            @pl.when(gbkt_ref[grp] == b)
             def _():
-                dma(grp, sl, u, gi_hbm, pgi, 0).start()
-                dma(grp, sl, u, gj_hbm, pgj, 1).start()
+                for u in range(GROUP):
+                    @pl.when(valid_ref[grp * GROUP + u] != 0)
+                    def _():
+                        dma(grp, sl, u, rows_b, cols_b).start()
 
     # Double buffering: group g's patches were prefetched by program g-1;
     # EVERY program prefetches group g+1 (per-lane validity inside), so
@@ -260,32 +289,34 @@ def _descriptor_kernel(
     # instead of per-lane else-branches (Mosaic compile cost).
     out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    if True:
+    half = lam * (n_hist + 1) / n_hist
+    cell = 2.0 * lam / n_hist
+
+    for b, (dma_rows, dma_cols, comp_rows, _) in enumerate(geoms):
+      @pl.when(gbkt_ref[g] == b)
+      def _(dma_rows=dma_rows, dma_cols=dma_cols, comp_rows=comp_rows):
         row_iota = jax.lax.broadcasted_iota(
             jnp.int32, (comp_rows, 128), 0
         ).astype(jnp.float32)
         col_iota = jax.lax.broadcasted_iota(
             jnp.int32, (comp_rows, 128), 1
         ).astype(jnp.float32)
-        half = lam * (n_hist + 1) / n_hist
-        cell = 2.0 * lam / n_hist
 
         for u in range(GROUP):
             l = g * GROUP + u
 
             @pl.when(valid_ref[l] != 0)
             def _():
-                dma(g, slot, u, gi_hbm, pgi, 0).wait()
-                dma(g, slot, u, gj_hbm, pgj, 1).wait()
+                dma(g, slot, u, dma_rows, dma_cols).wait()
                 shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
                 shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
                 gi = _compact_window(
-                    pgi[slot, u], shift_r, shift_c, comp_rows, dma_rows,
-                    dma_cols,
+                    pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+                    comp_rows, dma_rows, dma_cols,
                 )
                 gj = _compact_window(
-                    pgj[slot, u], shift_r, shift_c, comp_rows, dma_rows,
-                    dma_cols,
+                    pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+                    comp_rows, dma_rows, dma_cols,
                 )
                 sig = sig_ref[l]
                 th = th_ref[l]
@@ -370,56 +401,15 @@ def descriptor_lanes_pallas(
     ``fields`` comes from :func:`prepare_patch_fields` (shared with the
     orientation stage). ``valid`` (dynamic, per lane) gates DMA+compute;
     invalid lanes return zeros. ``frame`` gives each lane's frame index
-    when fields are batched. Lanes are routed to 2-3 sigma-bucketed
-    window sizes (see :func:`_radius_buckets`); each lane computes in
-    the smallest static window that holds its true patch."""
+    when fields are batched. Each GROUP of 8 lanes picks the smallest
+    static window (see :func:`_radius_buckets`) that holds every lane's
+    true patch — lanes arrive scale-major, so groups are nearly
+    radius-homogeneous and the common (fine-scale) group does ~2x less
+    DMA and vector work than the sigma_max-sized window."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
     if valid is None:
         valid = jnp.ones((l,), bool)
-
-    def run(radius: int, valid_b: jnp.ndarray) -> jnp.ndarray:
-        dma_rows, dma_cols, comp_rows = _window_geometry(radius)
-        assert dma_rows - radius <= fields.rpad, (radius, fields.rpad)
-        row0, c0, u0, v0, valid_i32 = _lane_prep(
-            fields, scale, x_oct, y_oct, radius, frame, valid_b
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
-            grid=(l // GROUP,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (GROUP * 16, 128),
-                lambda g, *_: (g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, GROUP)),
-            ],
-        )
-        return pl.pallas_call(
-            functools.partial(
-                _descriptor_kernel,
-                dma_rows=dma_rows,
-                dma_cols=dma_cols,
-                comp_rows=comp_rows,
-                n_hist=config.n_histograms_per_axis,
-                n_ori=config.n_descriptor_bins,
-                lam=config.descriptor_lambda,
-            ),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((l * 16, 128), jnp.float32),
-            interpret=interpret,
-        )(
-            valid_i32, row0, c0, u0, v0,
-            x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
-            fields.gi, fields.gj,
-        )
 
     # Pixel reach of a lane's patch: sqrt(2) * half-extent * sigma, plus
     # 0.5 for the rounded center (must mirror the kernel's |xr| < half
@@ -430,16 +420,49 @@ def descriptor_lanes_pallas(
         / config.n_histograms_per_axis
     )
     reach = math.sqrt(2.0) * half * sigma_oct + 0.5
-    remaining = valid
-    out = None
-    for r_b in _radius_buckets(config.desc_patch_radius):
-        if r_b == config.desc_patch_radius:
-            m_b = remaining
-        else:
-            m_b = remaining & (reach <= r_b)
-            remaining = remaining & ~m_b
-        o = run(r_b, m_b)
-        out = o if out is None else out + o
+    buckets = _radius_buckets(config.desc_patch_radius)
+    geoms = tuple(_window_geometry(r) + (r,) for r in buckets)
+    for rows_b, _, _, r_b in geoms:
+        assert rows_b - r_b <= fields.rpad, (r_b, fields.rpad)
+
+    gbkt, radius_l = _group_buckets(reach, valid, buckets)
+    row0, c0, u0, v0, valid_i32 = _lane_prep(
+        fields, scale, x_oct, y_oct, radius_l, frame, valid
+    )
+
+    dma_rows, dma_cols, _, _ = geoms[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=10,
+        grid=(l // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (GROUP * 16, 128),
+            lambda g, *_: (g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, 2, dma_rows, dma_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _descriptor_kernel,
+            geoms=geoms,
+            n_hist=config.n_histograms_per_axis,
+            n_ori=config.n_descriptor_bins,
+            lam=config.descriptor_lambda,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l * 16, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        valid_i32, gbkt, row0, c0, u0, v0,
+        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
+        fields.g,
+    )
 
     # [L*16, 128] -> [L, 16, 8] -> [L, 128]
     return out.reshape(l, 16, 128)[:, :, :config.n_descriptor_bins].reshape(
@@ -448,34 +471,38 @@ def descriptor_lanes_pallas(
 
 
 def _orientation_kernel(
-    valid_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref, sig_ref,
-    gi_hbm, gj_hbm,
+    valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
+    sig_ref,
+    g_hbm,
     out_ref,
-    pgi, pgj, sems,
+    pg, sems,
     *,
-    dma_rows, dma_cols, comp_rows, n_bins, lam,
+    geoms, n_bins, lam,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
-    def dma(grp, sl, u, src, dest, sem_bank):
+    def dma(grp, sl, u, dma_rows, dma_cols):
+        # ONE copy per lane: both gradient planes ride the leading dim.
         l = grp * GROUP + u
         base = pl.multiple_of(row0_ref[l], 8)
         c0 = pl.multiple_of(c0_ref[l], 128)
         return pltpu.make_async_copy(
-            src.at[pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
-            dest.at[sl, u],
-            sems.at[sem_bank, sl, u],
+            g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
+            pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
+            sems.at[sl, u],
         )
 
     def start_group(grp, sl):
-        for u in range(GROUP):
-            @pl.when(valid_ref[grp * GROUP + u] != 0)
+        for b, (rows_b, cols_b, _, _) in enumerate(geoms):
+            @pl.when(gbkt_ref[grp] == b)
             def _():
-                dma(grp, sl, u, gi_hbm, pgi, 0).start()
-                dma(grp, sl, u, gj_hbm, pgj, 1).start()
+                for u in range(GROUP):
+                    @pl.when(valid_ref[grp * GROUP + u] != 0)
+                    def _():
+                        dma(grp, sl, u, rows_b, cols_b).start()
 
     @pl.when(g == 0)
     def _():
@@ -487,7 +514,9 @@ def _orientation_kernel(
 
     out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    if True:
+    for b, (dma_rows, dma_cols, comp_rows, _) in enumerate(geoms):
+      @pl.when(gbkt_ref[g] == b)
+      def _(dma_rows=dma_rows, dma_cols=dma_cols, comp_rows=comp_rows):
         row_iota = jax.lax.broadcasted_iota(
             jnp.int32, (comp_rows, 128), 0
         ).astype(jnp.float32)
@@ -500,17 +529,16 @@ def _orientation_kernel(
 
             @pl.when(valid_ref[l] != 0)
             def _():
-                dma(g, slot, u, gi_hbm, pgi, 0).wait()
-                dma(g, slot, u, gj_hbm, pgj, 1).wait()
+                dma(g, slot, u, dma_rows, dma_cols).wait()
                 shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
                 shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
                 gi = _compact_window(
-                    pgi[slot, u], shift_r, shift_c, comp_rows, dma_rows,
-                    dma_cols,
+                    pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+                    comp_rows, dma_rows, dma_cols,
                 )
                 gj = _compact_window(
-                    pgj[slot, u], shift_r, shift_c, comp_rows, dma_rows,
-                    dma_cols,
+                    pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+                    comp_rows, dma_rows, dma_cols,
                 )
                 sig = sig_ref[l]
                 dm = row_iota + (u0_ref[l].astype(jnp.float32) - x_ref[l])
@@ -553,64 +581,54 @@ def orientation_hist_lanes_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Raw (un-smoothed) [L, n_bins] orientation histograms via Pallas.
-    Same fields/valid/frame/bucketing contract as
+    Same fields/valid/frame/per-group-window contract as
     :func:`descriptor_lanes_pallas`."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
     if valid is None:
         valid = jnp.ones((l,), bool)
 
-    def run(radius: int, valid_b: jnp.ndarray) -> jnp.ndarray:
-        dma_rows, dma_cols, comp_rows = _window_geometry(radius)
-        assert dma_rows - radius <= fields.rpad, (radius, fields.rpad)
-        row0, c0, u0, v0, valid_i32 = _lane_prep(
-            fields, scale, x_oct, y_oct, radius, frame, valid_b
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
-            grid=(l // GROUP,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-                pltpu.VMEM((2, GROUP, dma_rows, dma_cols), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, GROUP)),
-            ],
-        )
-        return pl.pallas_call(
-            functools.partial(
-                _orientation_kernel,
-                dma_rows=dma_rows,
-                dma_cols=dma_cols,
-                comp_rows=comp_rows,
-                n_bins=config.n_orientation_bins,
-                lam=config.orientation_lambda,
-            ),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
-            interpret=interpret,
-        )(
-            valid_i32, row0, c0, u0, v0,
-            x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
-            fields.gi, fields.gj,
-        )
-
     # Mirror the kernel's |dm|,|dn| <= 3*lam*sigma cutoff (+0.5 for the
     # rounded center).
     reach = 3.0 * config.orientation_lambda * sigma_oct + 0.5
-    remaining = valid
-    out = None
-    for r_b in _radius_buckets(config.ori_patch_radius):
-        if r_b == config.ori_patch_radius:
-            m_b = remaining
-        else:
-            m_b = remaining & (reach <= r_b)
-            remaining = remaining & ~m_b
-        o = run(r_b, m_b)
-        out = o if out is None else out + o
+    buckets = _radius_buckets(config.ori_patch_radius)
+    geoms = tuple(_window_geometry(r) + (r,) for r in buckets)
+    for rows_b, _, _, r_b in geoms:
+        assert rows_b - r_b <= fields.rpad, (r_b, fields.rpad)
+
+    gbkt, radius_l = _group_buckets(reach, valid, buckets)
+    row0, c0, u0, v0, valid_i32 = _lane_prep(
+        fields, scale, x_oct, y_oct, radius_l, frame, valid
+    )
+
+    dma_rows, dma_cols, _, _ = geoms[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(l // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, 2, dma_rows, dma_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _orientation_kernel,
+            geoms=geoms,
+            n_bins=config.n_orientation_bins,
+            lam=config.orientation_lambda,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        valid_i32, gbkt, row0, c0, u0, v0,
+        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
+        fields.g,
+    )
     return out[:, :config.n_orientation_bins]

@@ -229,6 +229,12 @@ def extract_gray_batch(
 
     if _profile_stop in ("compact", "orient"):
         return profile_acc
+    if _profile_stop == "describe":
+        # Everything through the descriptor kernels, before the global
+        # keypoint/descriptor compactions.
+        return sum(
+            jnp.sum(r["features"].astype(jnp.int32)) for r in desc_rows
+        ) + sum(jnp.sum(r["valid"]) for r in desc_rows)
 
     keypoints, kp_dropped_global = jax.vmap(
         lambda *kps: _detect.gather_keypoints(kps, config)
