@@ -7,9 +7,13 @@ on the MXU the EXACT matmul matcher covers it with headroom.
 Usage: python benchmarks/matching_bench.py
 """
 
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -146,6 +146,16 @@ def _accept(
     )
 
 
+def _sq_dists(qf: jnp.ndarray, tf: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 [Q, T] on the features/255 scale; integer-exact int8
+    MXU path for uint8 inputs, fp32 HIGHEST otherwise."""
+    if qf.dtype == jnp.uint8 and tf.dtype == jnp.uint8:
+        return pairwise_sq_dists_u8(qf, tf).astype(jnp.float32) * (
+            1.0 / (255.0 * 255.0)
+        )
+    return pairwise_sq_dists(raw_features(qf), raw_features(tf))
+
+
 def match_bruteforce(
     query_features: jnp.ndarray,
     target_features: jnp.ndarray,
@@ -153,6 +163,7 @@ def match_bruteforce(
     target_valid: jnp.ndarray,
     absolute_threshold: float = 1.176,
     ratio_threshold: float = 0.6,
+    target_block: int = 65536,
 ) -> Matches:
     """Exact 2-NN matching of uint8 descriptor sets (thresholds on the
     features/255 scale; defaults from SIFTDescriptor.swift:301-302).
@@ -160,17 +171,49 @@ def match_bruteforce(
     uint8 inputs take the integer-exact int8 MXU path
     (pairwise_sq_dists_u8, ~12x the fp32 HIGHEST matmul rate and
     bit-identical across backends); other dtypes fall back to the fp32
-    matmul."""
-    if query_features.dtype == jnp.uint8 and target_features.dtype == jnp.uint8:
-        d2 = pairwise_sq_dists_u8(query_features, target_features).astype(
-            jnp.float32
-        ) * (1.0 / (255.0 * 255.0))
-    else:
-        d2 = pairwise_sq_dists(
-            raw_features(query_features), raw_features(target_features)
+    matmul. Target sets larger than ``target_block`` stream through a
+    lax.scan of block matmuls with a running top-2 merge — exact at ANY
+    map size without materializing the [Q, T] distance matrix (4096 x
+    1M in f32 is 16 GB; blocked it peaks at [Q, target_block])."""
+    t_n = target_features.shape[0]
+    if t_n <= target_block:
+        d2 = _sq_dists(query_features, target_features)
+        d2 = jnp.where(target_valid[None, :], d2, jnp.inf)
+        b1, b2, idx = _top2(d2)
+        return _accept(
+            jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
+            absolute_threshold, ratio_threshold,
         )
-    d2 = jnp.where(target_valid[None, :], d2, jnp.inf)
-    b1, b2, idx = _top2(d2)
+
+    n_b = (t_n + target_block - 1) // target_block
+    pad = n_b * target_block - t_n
+    tf = jnp.pad(target_features, ((0, pad), (0, 0))).reshape(
+        n_b, target_block, -1
+    )
+    tv = jnp.pad(target_valid, (0, pad)).reshape(n_b, target_block)
+    q_n = query_features.shape[0]
+
+    def body(carry, blk):
+        b1, b2, i1, off = carry
+        tf_b, tv_b = blk
+        d2 = _sq_dists(query_features, tf_b)
+        d2 = jnp.where(tv_b[None, :], d2, jnp.inf)
+        c1, c2, ci = _top2(d2)
+        ci = ci + off
+        # Streaming top-2 merge: best = min of bests; second-best = min
+        # of (worse best, both seconds).
+        nb1 = jnp.minimum(b1, c1)
+        ni1 = jnp.where(c1 < b1, ci, i1)
+        nb2 = jnp.minimum(jnp.maximum(b1, c1), jnp.minimum(b2, c2))
+        return (nb1, nb2, ni1, off + target_block), None
+
+    init = (
+        jnp.full((q_n,), jnp.inf),
+        jnp.full((q_n,), jnp.inf),
+        jnp.full((q_n,), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (b1, b2, idx, _), _ = lax.scan(body, init, (tf, tv))
     return _accept(
         jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
         absolute_threshold, ratio_threshold,

@@ -178,3 +178,102 @@ def blur(image: jnp.ndarray, sigma: float, out_dtype=None) -> jnp.ndarray:
     if out_dtype is not None:
         return _conv1d_sym(first, taps, axis=-2, out_dtype=out_dtype)
     return _conv1d_sym(first, taps, axis=-2)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_tiles(sigma: float, n: int) -> "np.ndarray":
+    """Per-tile [n_t, 256, 128] band blocks for a 1-D Gaussian pass.
+
+    Output tile t covers cols [128t, 128(t+1)); its inputs live in the
+    256-col window [128t - 64, 128t + 192) of the ZERO-padded (64 each
+    side) input. The half-sample-symmetric reflection is folded into
+    window-local indices (a reflected index near an image edge always
+    lands within 64 of that edge, so it stays inside the window for
+    radius <= 64). Cuts the dense [n, n] band's n/(2r+1) FLOP waste to
+    256/(2r+1) while staying pure matmul."""
+    taps = gaussian_taps(sigma).astype(np.float64)
+    r = len(taps) // 2
+    assert r <= 64, (sigma, r)
+    n_t = (n + 127) // 128
+    t_all = np.zeros((n_t, 256, 128), np.float64)
+    for t in range(n_t):
+        base = 128 * t - 64  # window start in unpadded coords
+        for v in range(128):
+            j = 128 * t + v
+            if j >= n:
+                continue
+            for k_i, tap in enumerate(taps):
+                idx = j + k_i - r
+                m = idx % (2 * n)
+                idx = m if m < n else 2 * n - 1 - m
+                w = idx - base
+                assert 0 <= w < 256, (sigma, n, t, v, idx)
+                t_all[t, w, v] += tap
+    return t_all.astype(np.float32)
+
+
+def blur_mxu_banded(
+    image: jnp.ndarray, sigma: float, out_dtype=None, precision="highest"
+) -> jnp.ndarray:
+    """Separable Gaussian blur as BLOCKED band matmuls on the MXU.
+
+    Same contract as :func:`blur_mxu` but each 128-wide output tile
+    contracts only its 256-wide input window — ~W/256 fewer FLOPs than
+    the dense band at octave-0 widths. Requires radius <= 64 (true for
+    every sigma in the IPOL cascade)."""
+    if sigma <= 0.0:
+        return image if out_dtype is None else image.astype(out_dtype)
+    if out_dtype is None:
+        out_dtype = image.dtype
+    h, w = image.shape[-2], image.shape[-1]
+    t_w = jnp.asarray(_band_tiles(float(sigma), w))
+    t_h = jnp.asarray(_band_tiles(float(sigma), h))
+    bf16 = image.dtype == jnp.bfloat16
+    if bf16:
+        t_w = t_w.astype(jnp.bfloat16)
+        t_h = t_h.astype(jnp.bfloat16)
+        prec = None
+    else:
+        prec = (
+            lax.Precision.HIGH
+            if precision == "high"
+            else lax.Precision.HIGHEST
+        )
+
+    def windows(x, axis_len, axis):
+        # [..., n] -> [..., n_t, 256] overlapping 256-windows at stride
+        # 128 of the 64-zero-padded axis (static slices + stack).
+        n_t = (axis_len + 127) // 128
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (64, 64 + 128 * n_t - axis_len)
+        xp = jnp.pad(x, pad)
+        slices = []
+        for t in range(n_t):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(128 * t, 128 * t + 256)
+            slices.append(xp[tuple(sl)])
+        return jnp.stack(slices, axis=axis if axis >= 0 else x.ndim + axis)
+
+    # X pass: windows over the last axis -> [..., h, n_t, 256]
+    xw = windows(image, w, -1)
+    x = jnp.einsum(
+        "...tc,tcv->...tv",
+        xw,
+        t_w,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    x = x.reshape(*x.shape[:-2], -1)[..., :w]
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+    # Y pass: windows over the row axis -> [..., n_t, 256, w]
+    yw = windows(x, h, -2)
+    y = jnp.einsum(
+        "...tcw,tcv->...tvw",
+        yw,
+        t_h,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    y = y.reshape(*y.shape[:-3], -1, y.shape[-1])[..., :h, :]
+    return y.astype(out_dtype)

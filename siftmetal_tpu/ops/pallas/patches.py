@@ -632,3 +632,337 @@ def orientation_hist_lanes_pallas(
         fields.g,
     )
     return out[:, :config.n_orientation_bins]
+
+
+def _orient_desc_kernel(
+    # scalar prefetch
+    valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
+    sig_ref,
+    # input
+    g_hbm,
+    # outputs
+    feat_ref, meta_ref,
+    # scratch
+    pg, sems,
+    *,
+    geoms, n_bins, n_hist, n_ori, max_ori, lam_ori, lam_desc,
+    smooth_iters, peak_thr,
+):
+    """FUSED orientation->smoothing->peaks->descriptor kernel.
+
+    One window DMA per KEYPOINT serves both stages (the descriptor
+    window contains the orientation window: reach 10.6 sigma vs 4.5
+    sigma), the 6x circular smoothing and IPOL peak detection run on
+    the VMEM-resident [1, n_bins] histogram, and each detected peak's
+    descriptor is emitted in the same kernel instance. Replaces the
+    two-kernel path's second round of per-lane DMAs plus the XLA
+    smooth/peaks/lane-compaction round trips between them.
+
+    Peaks are emitted in BIN order (first ``max_ori`` by rank), which
+    is IPOL's own emission order; the two-stage path's top-k-by-height
+    order only differs when a keypoint has more than ``max_ori`` peaks
+    (never observed on the fixtures — butterfly max multiplicity is 4).
+
+    Outputs: ``feat_ref`` rows (lane*max_ori + p) hold the full packed
+    128-d raw descriptor of peak p; ``meta_ref`` row ``lane`` holds
+    theta_p in cols [0, max_ori) and validity flags in
+    cols [max_ori, 2*max_ori).
+    """
+    g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+    nslot = jax.lax.rem(g + 1, 2)
+
+    def dma(grp, sl, u, dma_rows, dma_cols):
+        l = grp * GROUP + u
+        base = pl.multiple_of(row0_ref[l], 8)
+        c0 = pl.multiple_of(c0_ref[l], 128)
+        return pltpu.make_async_copy(
+            g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
+            pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
+            sems.at[sl, u],
+        )
+
+    def start_group(grp, sl):
+        for b, (rows_b, cols_b, _, _) in enumerate(geoms):
+            @pl.when(gbkt_ref[grp] == b)
+            def _():
+                for u in range(GROUP):
+                    @pl.when(valid_ref[grp * GROUP + u] != 0)
+                    def _():
+                        dma(grp, sl, u, rows_b, cols_b).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_group(0, slot)
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        start_group(g + 1, nslot)
+
+    feat_ref[:, :] = jnp.zeros_like(feat_ref)
+    meta_ref[:, :] = jnp.zeros_like(meta_ref)
+
+    half = lam_desc * (n_hist + 1) / n_hist
+    cell = 2.0 * lam_desc / n_hist
+    two_pi = 2.0 * jnp.pi
+
+    def wrap_l(a):  # roll +1 with circular wrap on [1, n_bins]
+        return jnp.concatenate([a[:, -1:], a[:, :-1]], axis=1)
+
+    def wrap_r(a):
+        return jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
+
+    for b, (dma_rows, dma_cols, comp_rows, _) in enumerate(geoms):
+      @pl.when(gbkt_ref[g] == b)
+      def _(dma_rows=dma_rows, dma_cols=dma_cols, comp_rows=comp_rows):
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (comp_rows, 128), 0
+        ).astype(jnp.float32)
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (comp_rows, 128), 1
+        ).astype(jnp.float32)
+
+        for u in range(GROUP):
+            l = g * GROUP + u
+
+            @pl.when(valid_ref[l] != 0)
+            def _():
+                dma(g, slot, u, dma_rows, dma_cols).wait()
+                shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
+                shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
+                gi = _compact_window(
+                    pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+                    comp_rows, dma_rows, dma_cols,
+                )
+                gj = _compact_window(
+                    pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+                    comp_rows, dma_rows, dma_cols,
+                )
+                sig = sig_ref[l]
+                dm = row_iota + (u0_ref[l].astype(jnp.float32) - x_ref[l])
+                dn = col_iota + (v0_ref[l].astype(jnp.float32) - y_ref[l])
+                mag = jnp.sqrt(gi * gi + gj * gj)
+                ang = _atan2(gj, gi)
+
+                # ---- orientation histogram (same as the standalone
+                # kernel) ------------------------------------------------
+                r_max = 3.0 * lam_ori * sig
+                inside_o = (jnp.abs(dm) <= r_max) & (jnp.abs(dn) <= r_max)
+                w_o = (
+                    jnp.exp(
+                        -(dm * dm + dn * dn) / (2.0 * (lam_ori * sig) ** 2)
+                    )
+                    * mag
+                    * inside_o
+                )
+                tb = jnp.mod(ang, two_pi) * (n_bins / two_pi)
+                bb = jnp.mod(jnp.round(tb), float(n_bins))
+                entries = [
+                    jnp.sum(jnp.where(bb == float(k), w_o, 0.0),
+                            keepdims=True)
+                    for k in range(n_bins)
+                ]
+                h = jnp.concatenate(entries, axis=1)     # [1, n_bins]
+
+                # ---- 6x circular box smoothing (IPOL) ------------------
+                for _ in range(smooth_iters):
+                    h = (wrap_l(h) + h + wrap_r(h)) / 3.0
+
+                # ---- peak detection + parabolic refinement -------------
+                prev = wrap_l(h)
+                nxt = wrap_r(h)
+                hmax = jnp.max(h, axis=1, keepdims=True)
+                is_peak = (
+                    (h > prev)
+                    & (h > nxt)
+                    & (h >= peak_thr * hmax)
+                    & (h > 0.0)
+                )
+                off = (prev - nxt) / (2.0 * (prev + nxt - 2.0 * h))
+                kk = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_bins), 1
+                ).astype(jnp.float32)
+                th_map = (kk + 0.5 + off) * (two_pi / n_bins)
+                th_map = jnp.mod(th_map + jnp.pi, two_pi) - jnp.pi
+
+                # rank peaks in bin order (log-shift cumsum, zero fill)
+                pk = is_peak.astype(jnp.int32)
+                csum = pk
+                shift = 1
+                while shift < n_bins:
+                    z = jnp.zeros((1, shift), jnp.int32)
+                    csum = csum + jnp.concatenate(
+                        [z, csum[:, :-shift]], axis=1
+                    )
+                    shift *= 2
+
+                metas = []
+                for p in range(max_ori):
+                    hit = is_peak & (csum == p + 1)
+                    th_p = jnp.sum(jnp.where(hit, th_map, 0.0),
+                                   keepdims=True)
+                    v_p = jnp.sum(hit.astype(jnp.float32), keepdims=True)
+                    metas.append((th_p, v_p))
+
+                meta_row = jnp.concatenate(
+                    [m[0] for m in metas]
+                    + [m[1] for m in metas]
+                    + [jnp.zeros((1, 128 - 2 * max_ori), jnp.float32)],
+                    axis=1,
+                )
+                meta_ref[u:u + 1, :] = meta_row
+
+                # ---- descriptor per detected peak ----------------------
+                for p in range(max_ori):
+                    th_p, v_p = metas[p]
+
+                    @pl.when(v_p[0, 0] > 0.0)
+                    def _(th_p=th_p, p=p):
+                        th = th_p[0, 0]
+                        ct = jnp.cos(th)
+                        st = jnp.sin(th)
+                        xr = (ct * dm + st * dn) / sig
+                        yr = (-st * dm + ct * dn) / sig
+                        inside = (jnp.abs(xr) < half) & (jnp.abs(yr) < half)
+                        contrib = (
+                            jnp.exp(
+                                -(xr * xr + yr * yr)
+                                / (2.0 * lam_desc * lam_desc)
+                            )
+                            * mag
+                            * inside
+                        )
+                        phi = jnp.mod(ang - th, two_pi)
+
+                        wo_maps = []
+                        for k in range(n_ori):
+                            ok = k * two_pi / n_ori
+                            d = jnp.abs(phi - ok)
+                            d = jnp.minimum(d, two_pi - d)
+                            wo_maps.append(
+                                contrib
+                                * jnp.maximum(0.0, 1.0 - d * (n_ori / two_pi))
+                            )
+                        wa_maps = []
+                        wb_maps = []
+                        for a in range(n_hist):
+                            ca = (a + 1 - (n_hist + 1) / 2.0) * cell
+                            wa_maps.append(
+                                jnp.maximum(0.0, 1.0 - jnp.abs(xr - ca) / cell)
+                            )
+                            wb_maps.append(
+                                jnp.maximum(0.0, 1.0 - jnp.abs(yr - ca) / cell)
+                            )
+                        ents = []
+                        for a in range(n_hist):
+                            for bq in range(n_hist):
+                                ab_map = wa_maps[a] * wb_maps[bq]
+                                for k in range(n_ori):
+                                    ents.append(
+                                        jnp.sum(
+                                            ab_map * wo_maps[k],
+                                            keepdims=True,
+                                        )
+                                    )
+                        pad_w = 128 - n_hist * n_hist * n_ori
+                        if pad_w > 0:
+                            ents = ents + [
+                                jnp.zeros((1, pad_w), jnp.float32)
+                            ]
+                        row = jnp.concatenate(ents, axis=1)
+                        feat_ref[
+                            u * max_ori + p:u * max_ori + p + 1, :
+                        ] = row
+
+
+def orient_desc_lanes_pallas(
+    fields: PatchFields,
+    scale: jnp.ndarray,
+    x_oct: jnp.ndarray,
+    y_oct: jnp.ndarray,
+    sigma_oct: jnp.ndarray,
+    config: SiftConfig,
+    valid: Optional[jnp.ndarray] = None,
+    frame: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused orientation+descriptor stage: one window DMA per keypoint.
+
+    Returns ``(raw [L, max_ori, 128], theta [L, max_ori],
+    ori_valid [L, max_ori])`` — raw descriptors are unquantized (feed
+    :func:`siftmetal_tpu.sift.describe.quantize_descriptors`); invalid
+    peaks/lanes are zero."""
+    l = scale.shape[0]
+    assert l % GROUP == 0, l
+    if valid is None:
+        valid = jnp.ones((l,), bool)
+    max_ori = config.max_orientations_per_keypoint
+
+    half = (
+        config.descriptor_lambda
+        * (config.n_histograms_per_axis + 1)
+        / config.n_histograms_per_axis
+    )
+    reach = math.sqrt(2.0) * half * sigma_oct + 0.5
+    buckets = _radius_buckets(config.desc_patch_radius)
+    geoms = tuple(_window_geometry(r) + (r,) for r in buckets)
+    for rows_b, _, _, r_b in geoms:
+        assert rows_b - r_b <= fields.rpad, (r_b, fields.rpad)
+
+    gbkt, radius_l = _group_buckets(reach, valid, buckets)
+    row0, c0, u0, v0, valid_i32 = _lane_prep(
+        fields, scale, x_oct, y_oct, radius_l, frame, valid
+    )
+
+    dma_rows, dma_cols, _, _ = geoms[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(l // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (GROUP * max_ori, 128),
+                lambda g, *_: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (GROUP, 128), lambda g, *_: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, 2, dma_rows, dma_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+        ],
+    )
+    feats, meta = pl.pallas_call(
+        functools.partial(
+            _orient_desc_kernel,
+            geoms=geoms,
+            n_bins=config.n_orientation_bins,
+            n_hist=config.n_histograms_per_axis,
+            n_ori=config.n_descriptor_bins,
+            max_ori=max_ori,
+            lam_ori=config.orientation_lambda,
+            lam_desc=config.descriptor_lambda,
+            smooth_iters=config.orientation_smoothing_iterations,
+            peak_thr=config.orientation_peak_threshold,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((l * max_ori, 128), jnp.float32),
+            jax.ShapeDtypeStruct((l, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        valid_i32, gbkt, row0, c0, u0, v0,
+        x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
+        fields.g,
+    )
+    raw = feats.reshape(l, max_ori, 128)
+    theta = meta[:, :max_ori]
+    ori_valid = meta[:, max_ori:2 * max_ori] > 0.0
+    return raw, theta, ori_valid

@@ -122,6 +122,53 @@ def extract_gray_batch(
             ) + jnp.sum(kp_dropped).astype(jnp.float32)
             continue
 
+        if use_pallas and config.use_fused_describe:
+            from ..ops.pallas.patches import (
+                orient_desc_lanes_pallas,
+                prepare_patch_fields,
+            )
+
+            fields = prepare_patch_fields(gaussians[o], config)
+            frame_kp = jnp.repeat(jnp.arange(b, dtype=jnp.int32), budget)
+            flat = lambda a: a.reshape(b * budget)
+            with jax.named_scope(f"sift_orient_desc_o{o}"):
+                raw, theta_l, ov = orient_desc_lanes_pallas(
+                    fields,
+                    flat(kpc.scale),
+                    flat(kpc.x_oct),
+                    flat(kpc.y_oct),
+                    flat(kpc.sigma_oct),
+                    config,
+                    valid=flat(kpc.valid),
+                    frame=frame_kp,
+                )
+            m = config.max_orientations_per_keypoint
+            theta = theta_l.reshape(b, budget, m)
+            ori_valid = ov.reshape(b, budget, m) & kpc.valid[:, :, None]
+            if _profile_stop == "orient":
+                profile_acc = profile_acc + jnp.sum(
+                    jnp.where(ori_valid, theta, 0.0)
+                )
+                continue
+            n_lanes = budget * m
+            feats = _describe.quantize_descriptors(raw, config).reshape(
+                b, n_lanes, -1
+            )
+            rep4 = lambda a: jnp.repeat(a, m, axis=1)
+            desc_rows.append(
+                dict(
+                    valid=ori_valid.reshape(b, n_lanes),
+                    octave=jnp.full((b, n_lanes), o, dtype=jnp.int32),
+                    x=rep4(kpc.x),
+                    y=rep4(kpc.y),
+                    sigma=rep4(kpc.sigma),
+                    theta=theta.reshape(b, n_lanes),
+                    features=feats,
+                )
+            )
+            kp_list.append(per_octave[o])
+            continue
+
         if use_pallas:
             from ..ops.pallas.patches import prepare_patch_fields
 

@@ -83,6 +83,36 @@ def extract_gray(
             fields = prepare_patch_fields(gaussians[o], config)
         else:
             fields = None
+
+        if use_pallas and config.use_fused_describe:
+            from ..ops.pallas.patches import orient_desc_lanes_pallas
+
+            with jax.named_scope(f"sift_orient_desc_o{o}"):
+                raw, theta_l, ov = orient_desc_lanes_pallas(
+                    fields, kpc.scale, kpc.x_oct, kpc.y_oct,
+                    kpc.sigma_oct, config, valid=kpc.valid,
+                )
+            m = config.max_orientations_per_keypoint
+            ori_valid = ov & kpc.valid[:, None]
+            n_lanes = budget * m
+            feats = _describe.quantize_descriptors(raw, config).reshape(
+                n_lanes, -1
+            )
+            rep4 = lambda a: jnp.repeat(a, m)
+            desc_rows.append(
+                dict(
+                    valid=ori_valid.reshape(-1),
+                    octave=jnp.full((n_lanes,), o, dtype=jnp.int32),
+                    x=rep4(kpc.x),
+                    y=rep4(kpc.y),
+                    sigma=rep4(kpc.sigma),
+                    theta=theta_l.reshape(-1),
+                    features=feats,
+                )
+            )
+            kp_list.append(per_octave[o])
+            continue
+
         with jax.named_scope(f"sift_orientation_o{o}"):
             ori = _describe.orientations_octave(
                 gaussians[o], kpc, config, fields=fields

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
-from ..ops.gaussian import blur, blur_mxu
+from ..ops.gaussian import blur, blur_mxu_banded
 from ..ops.image import decimate_2x, rgb_to_gray, upsample_bilinear_2x
 
 
@@ -27,7 +27,7 @@ def _blur_fn(config: SiftConfig):
         import functools
 
         return functools.partial(
-            blur_mxu, precision=config.mxu_blur_precision
+            blur_mxu_banded, precision=config.mxu_blur_precision
         )
     return blur
 

@@ -194,3 +194,41 @@ def test_pairwise_sq_dists_u8_integer_exact():
     assert (got == ref).all()
     # Exactly representable in f32 downstream (max 128*255^2 < 2^24).
     assert ref.max() < 2 ** 24
+
+
+def test_match_bruteforce_blocked_equals_single_shot():
+    """The streaming blocked top-2 (map-scale path) must reproduce the
+    single-matmul matcher exactly, including cross-block second-bests
+    and validity masking."""
+    rng = np.random.default_rng(2)
+    # Low-entropy descriptors so some pairs pass the ratio test.
+    base = rng.integers(0, 40, (50, 128))
+    q = jnp.asarray(
+        np.clip(base + rng.integers(-3, 4, (50, 128)), 0, 255).astype(
+            np.uint8
+        )
+    )
+    t = jnp.asarray(
+        np.clip(
+            np.vstack([base, rng.integers(0, 40, (206, 128))])
+            + rng.integers(-3, 4, (256, 128)),
+            0, 255,
+        ).astype(np.uint8)
+    )
+    qv = jnp.ones(50, bool)
+    tv = jnp.asarray(rng.random(256) > 0.1)
+    ref = match_bruteforce(q, t, qv, tv)
+    got = match_bruteforce(q, t, qv, tv, target_block=100)  # 3 ragged blocks
+    assert int(ref.count) > 0
+    np.testing.assert_array_equal(
+        np.asarray(ref.target_idx), np.asarray(got.target_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.distance), np.asarray(got.distance)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.second_distance), np.asarray(got.second_distance)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.valid), np.asarray(got.valid)
+    )

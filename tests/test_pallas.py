@@ -409,3 +409,94 @@ def test_detect_octave_slots_tail_matches_xla():
             return rows
 
         assert accepted(kp_p, bb) == accepted(kp_r)
+
+
+def test_fused_orient_desc_matches_staged():
+    """Fused orientation+descriptor kernel (interpret mode) vs the
+    staged XLA chain (hist -> smooth -> peaks -> descriptors): the
+    per-keypoint (theta, descriptor) SETS must agree (the fused kernel
+    emits peaks in bin order, the staged path in height order)."""
+    import jax
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.patches import (
+        orient_desc_lanes_pallas,
+        prepare_patch_fields,
+    )
+    from siftmetal_tpu.sift import describe as DS
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(7)
+    s = cfg.n_gaussians_per_octave
+    h, w = 96, 160
+    gauss = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
+
+    L = 16
+    scale = jnp.asarray(
+        rng.integers(1, cfg.n_scales_per_octave + 1, L).astype(np.int32)
+    )
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
+    sig = jnp.asarray(rng.uniform(1.0, 3.6, L).astype(np.float32))
+    fields = prepare_patch_fields(gauss, cfg)
+    valid = jnp.asarray(np.array([True] * 12 + [False] * 4))
+
+    raw, theta, ov = orient_desc_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg, valid=valid, interpret=True
+    )
+    feats = np.asarray(DS.quantize_descriptors(raw, cfg)).astype(np.int32)
+    theta = np.asarray(theta)
+    ov = np.asarray(ov)
+
+    # Staged reference: XLA hist -> smooth -> peaks, then XLA
+    # descriptor per (lane, peak).
+    r = cfg.ori_patch_radius
+    gi, gj = DS.gradients(gauss[1:cfg.n_scales_per_octave + 1])
+    from functools import partial
+
+    hist = jax.vmap(
+        partial(
+            DS._orientation_hist_one,
+            DS._pad_spatial(gi, r),
+            DS._pad_spatial(gj, r),
+            radius=r,
+            n_bins=cfg.n_orientation_bins,
+            lam=cfg.orientation_lambda,
+        )
+    )(scale, x_oct, y_oct, sig)
+    hist = DS._smooth_circular(hist, cfg.orientation_smoothing_iterations)
+    theta_ref, ov_ref = DS.orientation_peaks(hist, cfg)
+    theta_ref = np.asarray(theta_ref)
+    ov_ref = np.asarray(ov_ref)
+
+    for li in range(L):
+        if not bool(valid[li]):
+            assert not ov[li].any()
+            assert np.all(feats[li] == 0)
+            continue
+        got_th = sorted(theta[li][ov[li]].tolist())
+        want_th = sorted(theta_ref[li][ov_ref[li]].tolist())
+        assert len(got_th) == len(want_th), (li, got_th, want_th)
+        # Poly-atan2 + fp accumulation-order differences shift thetas
+        # by well under the 10-degree bin width.
+        np.testing.assert_allclose(got_th, want_th, atol=2e-2)
+
+    # Descriptors: each fused (lane, peak) descriptor must match the
+    # XLA descriptor computed at the FUSED theta (isolates descriptor
+    # math from the tiny theta deltas checked above).
+    for li in range(L):
+        if not bool(valid[li]):
+            continue
+        for p in range(cfg.max_orientations_per_keypoint):
+            if not ov[li, p]:
+                continue
+            d_ref = DS.descriptor_lanes(
+                gauss,
+                scale[li:li + 1],
+                x_oct[li:li + 1],
+                y_oct[li:li + 1],
+                sig[li:li + 1],
+                jnp.asarray(theta[li:li + 1, p]),
+                cfg,
+            )
+            d_ref = np.asarray(d_ref).astype(np.int32)[0]
+            assert np.abs(feats[li, p] - d_ref).max() <= 1, (li, p)

@@ -142,3 +142,17 @@ def test_blur_mxu_bf16_contract():
     assert got.dtype == jnp.float32
     ref = np.asarray(blur(x, 1.1, out_dtype=jnp.float32))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=4e-3)
+
+
+@pytest.mark.parametrize("shape,sigma", [((3, 64, 80), 1.6), ((97, 130), 2.2),
+                                         ((17, 24), 0.67), ((6, 7), 2.5)])
+def test_blur_mxu_banded_matches_shift_add(shape, sigma):
+    """Blocked band-matmul blur == shift-add reference (window-local
+    reflection folding; includes tiny shapes and big radii)."""
+    from siftmetal_tpu.ops.gaussian import blur, blur_mxu_banded
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+    ref = np.asarray(blur(x, sigma))
+    got = np.asarray(blur_mxu_banded(x, sigma))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
