@@ -362,26 +362,22 @@ def _descriptor_kernel(
                     wb_maps.append(
                         jnp.maximum(0.0, 1.0 - jnp.abs(yr - ca) / cell)
                     )
-                hist_rows = []
+                # The full descriptor packs into ONE [1, 128] row
+                # (n_hist^2 * n_ori = 128): 16x less store/output
+                # traffic than the earlier [16, 128] rows-with-8-used
+                # layout, and downstream reads it without reshaping.
+                entries = []
                 for a in range(n_hist):
                     for b in range(n_hist):
                         ab_map = wa_maps[a] * wb_maps[b]
-                        entries = [
-                            jnp.sum(ab_map * wo_maps[k], keepdims=True)
-                            for k in range(n_ori)
-                        ]
-                        hist_rows.append(jnp.concatenate(entries, axis=1))
-                hist = jnp.concatenate(hist_rows, axis=0)     # [16, 8]
-                padded = jnp.concatenate(
-                    [
-                        hist,
-                        jnp.zeros(
-                            (n_hist * n_hist, 128 - n_ori), jnp.float32
-                        ),
-                    ],
-                    axis=1,
-                )
-                out_ref[u * 16:(u + 1) * 16, :] = padded
+                        for k in range(n_ori):
+                            entries.append(
+                                jnp.sum(ab_map * wo_maps[k], keepdims=True)
+                            )
+                pad_w = 128 - n_hist * n_hist * n_ori
+                if pad_w > 0:
+                    entries.append(jnp.zeros((1, pad_w), jnp.float32))
+                out_ref[u:u + 1, :] = jnp.concatenate(entries, axis=1)
 
 
 def descriptor_lanes_pallas(
@@ -438,7 +434,7 @@ def descriptor_lanes_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (GROUP * 16, 128),
+            (GROUP, 128),
             lambda g, *_: (g, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -456,18 +452,15 @@ def descriptor_lanes_pallas(
             lam=config.descriptor_lambda,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((l * 16, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
         interpret=interpret,
     )(
         valid_i32, gbkt, row0, c0, u0, v0,
         x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
         fields.g,
     )
-
-    # [L*16, 128] -> [L, 16, 8] -> [L, 128]
-    return out.reshape(l, 16, 128)[:, :, :config.n_descriptor_bins].reshape(
-        l, -1
-    )
+    return out[:, :config.n_histograms_per_axis ** 2
+               * config.n_descriptor_bins]
 
 
 def _orientation_kernel(
