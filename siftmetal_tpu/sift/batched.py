@@ -90,14 +90,11 @@ def extract_gray_batch(
     if _profile_stop == "pyramid":
         return sum(jnp.sum(d) for d in dogs)
 
-    per_octave = []
-    counters: Dict[str, jnp.ndarray] = {}
     with jax.named_scope("sift_detect"):
-        for o in range(n_octaves):
-            kp_b, ctr = _detect.detect_octave_batch(dogs[o], o, config)
-            per_octave.append(kp_b)
-            for key, v in ctr.items():
-                counters[key] = counters.get(key, 0) + v
+        per_octave, counters = _detect.detect_all_octaves_batch(
+            dogs, config
+        )
+        counters = dict(counters)
     if _profile_stop == "detect":
         return sum(
             jnp.sum(jnp.where(kp.valid, kp.x + kp.y + kp.sigma, 0.0))

@@ -805,3 +805,269 @@ def gather_keypoints(
         value=take(cat("value")),
     )
     return keypoints, dropped
+
+
+def detect_all_octaves_batch(
+    dogs: Sequence[jnp.ndarray],
+    config: SiftConfig,
+) -> Tuple[List[OctaveKeypoints], Dict[str, jnp.ndarray]]:
+    """Batched detection over ALL octaves with a FUSED tail (TPU path).
+
+    The per-octave fused kernels run as before, but the refinement tail
+    (iteration-1 acceptance, mover compaction, the gather walk, the
+    final acceptance) runs ONCE over every octave's slot grid
+    concatenated — per-octave constants ride per-lane segment tables
+    and the mover walk gathers from one flat concatenation of all
+    octaves' packed Taylor planes. Measured motivation: the tail is
+    dominated by fixed per-op dispatch cost (~13 us/op batched), and
+    the per-octave structure pays it 6x.
+
+    Returns (per-octave keypoint slot lists, AGGREGATE counters). Each
+    octave's lane set is its grid segment plus the shared mover block
+    (movers of other octaves masked invalid), so downstream per-octave
+    compaction works unchanged. Falls back to the per-octave path off
+    TPU.
+    """
+    if not _use_pallas_detect(config):
+        per_octave: List[OctaveKeypoints] = []
+        totals: Dict[str, jnp.ndarray] = {}
+        for o, dog in enumerate(dogs):
+            kp, counters = detect_octave_batch(dog, o, config)
+            per_octave.append(kp)
+            for key, v in counters.items():
+                totals[key] = totals.get(key, 0) + v
+        return per_octave, totals
+
+    from ..ops.pallas.detect import detect_candidates_pallas
+
+    outs = []
+    shapes = []
+    for o, dog in enumerate(dogs):
+        _, _, h, w = dog.shape
+        outs.append(
+            detect_candidates_pallas(
+                dog, 0.8 * config.dog_threshold, config.edge_threshold,
+                tile_h=_detect_tile_h(h),
+            )
+        )
+        shapes.append((h, w))
+    k_move = mover_budget(config, shapes[0])
+
+    kp_list, counters = jax.vmap(
+        lambda outs_f: _tail_all_octaves(
+            outs_f, tuple(shapes), config, k_move
+        )
+    )(tuple(outs))
+    return list(kp_list), counters
+
+
+def _tail_all_octaves(
+    outs,
+    shapes: Tuple[Tuple[int, int], ...],
+    config: SiftConfig,
+    k_move: int,
+):
+    """One frame's fused cross-octave slot tail (see
+    :func:`detect_all_octaves_batch`)."""
+    mo = jnp.float32(config.max_interpolation_offset)
+    ratio = 2.0 ** (1.0 / config.n_scales_per_octave)
+    n_oct = len(outs)
+
+    seg = []          # per-octave lane counts
+    s_c, i_c, j_c, ok_c = [], [], [], []
+    oi_c, oj_c, os_c, val_c, edge_c = [], [], [], [], []
+    delta_c, sgo_c, h_c, w_c, oct_c = [], [], [], [], []
+    plane_parts, edge_parts = [], []
+    pbase, ebase, htp_t, wpp_t, dlt_t, h_t, w_t = [], [], [], [], [], [], []
+    sig_rows = []
+    n_ex = jnp.int32(0)
+    n_soft = jnp.int32(0)
+    drops = jnp.int32(0)
+    poff = 0
+    eoff = 0
+    n_sig = None
+    for o, (cand_col, slot_ok, cand_fields, cand_edge, fpk, edge_f,
+            ne, ns, rd) in enumerate(outs):
+        n_sc, ht, slots = cand_col.shape
+        m_o = n_sc * ht * slots
+        seg.append(m_o)
+        lane = jnp.arange(m_o, dtype=jnp.int32)
+        s_c.append(lane // (ht * slots) + 1)
+        i_c.append((lane % (ht * slots)) // slots + 1)
+        j_c.append(cand_col.reshape(-1) + 1)
+        ok_c.append(slot_ok.reshape(-1))
+        c_oi, c_oj, c_os, c_val = cand_fields
+        oi_c.append(c_oi.reshape(-1))
+        oj_c.append(c_oj.reshape(-1))
+        os_c.append(c_os.reshape(-1))
+        val_c.append(c_val.reshape(-1))
+        edge_c.append(cand_edge.reshape(-1))
+        h, w = shapes[o]
+        delta = config.octave_delta(o)
+        sigmas = config.octave_sigmas(o)
+        if n_sig is None:
+            n_sig = len(sigmas)
+        sig_rows.append(jnp.asarray(sigmas, jnp.float32))
+        delta_c.append(jnp.full((m_o,), delta, jnp.float32))
+        sgo_c.append(jnp.full((m_o,), o * n_sig, jnp.int32))
+        h_c.append(jnp.full((m_o,), h, jnp.int32))
+        w_c.append(jnp.full((m_o,), w, jnp.int32))
+        oct_c.append(jnp.full((m_o,), o, jnp.int32))
+        plane_parts.append(fpk.reshape(-1))
+        edge_parts.append(edge_f.reshape(-1))
+        pbase.append(poff)
+        ebase.append(eoff)
+        poff += fpk.size
+        eoff += edge_f.size
+        htp_t.append(fpk.shape[-2])
+        wpp_t.append(fpk.shape[-1])
+        dlt_t.append(delta)
+        h_t.append(h)
+        w_t.append(w)
+        n_ex = n_ex + ne
+        n_soft = n_soft + ns
+        drops = drops + rd
+
+    cat = jnp.concatenate
+    s_idx = cat(s_c)
+    i_idx = cat(i_c)
+    j_idx = cat(j_c)
+    ok = cat(ok_c)
+    oi1, oj1, os1, val1 = cat(oi_c), cat(oj_c), cat(os_c), cat(val_c)
+    edge1 = cat(edge_c)
+    delta_l = cat(delta_c)
+    sgo_l = cat(sgo_c)
+    h_l = cat(h_c)
+    w_l = cat(w_c)
+    oct_l = cat(oct_c)
+    sig_table = cat(sig_rows)
+    n_sc_int = outs[0][0].shape[0]
+
+    def accept(cand_valid, s_f, i_f, j_f, conv, oi, oj, os_, val,
+               edge_ok, dlt, sgo, hh, ww):
+        pass_hard = conv & (jnp.abs(val) > config.dog_threshold)
+        pass_edge = pass_hard & edge_ok
+        x = (i_f.astype(jnp.float32) + oi) * dlt
+        y = (j_f.astype(jnp.float32) + oj) * dlt
+        sigma = sig_table[sgo + s_f] * ratio ** os_
+        img_h = hh.astype(jnp.float32) * dlt
+        img_w = ww.astype(jnp.float32) * dlt
+        border_ok = (
+            (x - sigma > 0.0)
+            & (x + sigma < img_h)
+            & (y - sigma > 0.0)
+            & (y + sigma < img_w)
+        )
+        pass_border = pass_edge & border_ok
+        return OctaveKeypoints(
+            cand_valid=cand_valid,
+            converged=conv & cand_valid,
+            pass_hard=pass_hard & cand_valid,
+            pass_edge=pass_edge & cand_valid,
+            pass_border=pass_border & cand_valid,
+            scale=s_f, i=i_f, j=j_f,
+            ofst_i=oi, ofst_j=oj, ofst_s=os_,
+            x=x, y=y, sigma=sigma, value=val,
+        )
+
+    conv1 = (jnp.abs(oi1) < mo) & (jnp.abs(oj1) < mo) & (jnp.abs(os1) < mo)
+    kp_g = accept(
+        ok & conv1, s_idx, i_idx, j_idx, conv1 & ok, oi1, oj1, os1, val1,
+        edge1, delta_l, sgo_l, h_l, w_l,
+    )
+
+    # --- movers: one compaction + one walk across every octave --------
+    di = jnp.where((oi1 > mo) & (i_idx + 1 <= h_l - 2), 1, 0) + jnp.where(
+        (oi1 < -mo) & (i_idx - 1 >= 1), -1, 0
+    )
+    dj = jnp.where((oj1 > mo) & (j_idx + 1 <= w_l - 2), 1, 0) + jnp.where(
+        (oj1 < -mo) & (j_idx - 1 >= 1), -1, 0
+    )
+    ds = jnp.where((os1 > mo) & (s_idx + 1 <= n_sc_int), 1, 0) + jnp.where(
+        (os1 < -mo) & (s_idx - 1 >= 1), -1, 0
+    )
+    move = ok & ~conv1
+    order, n_mov, mov_drop = masked_nonzero(move, k_move)
+    mv_valid = jnp.arange(k_move) < n_mov
+
+    oct_mv = oct_l[order]
+    tab = lambda vals, dt: jnp.asarray(vals, dt)[oct_mv]
+    pbase_mv = tab(pbase, jnp.int32)
+    ebase_mv = tab(ebase, jnp.int32)
+    htp_mv = tab(htp_t, jnp.int32)
+    wpp_mv = tab(wpp_t, jnp.int32)
+    h_mv = h_l[order]
+    w_mv = w_l[order]
+
+    planes_all = cat(plane_parts)
+    edge_all = cat(edge_parts)
+    step = htp_mv * wpp_mv
+
+    def lookup(s, i, j):
+        idx0 = pbase_mv + ((s - 1) * 4 * htp_mv + (i - 1)) * wpp_mv + (
+            j - 1
+        )
+        g = planes_all[
+            jnp.concatenate(
+                [idx0, idx0 + step, idx0 + 2 * step, idx0 + 3 * step]
+            )
+        ]
+        k = s.shape[0]
+        return g[:k], g[k:2 * k], g[2 * k:3 * k], g[3 * k:]
+
+    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m = _refine_batched(
+        lookup,
+        n_sc_int,
+        jnp.where(mv_valid, (s_idx + ds)[order], 1),
+        jnp.where(mv_valid, (i_idx + di)[order], 1),
+        jnp.where(mv_valid, (j_idx + dj)[order], 1),
+        h_mv,
+        w_mv,
+        max_iterations=config.max_interpolation_iterations - 1,
+        max_offset=config.max_interpolation_offset,
+    )
+    edge_m = edge_all[
+        ebase_mv + ((s_m - 1) * htp_mv + (i_m - 1)) * wpp_mv + (j_m - 1)
+    ]
+
+    kp_m = accept(
+        mv_valid, s_m, i_m, j_m, conv_m & mv_valid, oi_m, oj_m, os_m,
+        val_m, edge_m, delta_l[order], sgo_l[order], h_mv, w_mv,
+    )
+
+    counters = {
+        "n_extrema": n_ex,
+        "n_soft": n_soft,
+        "n_interp": jnp.sum(kp_g.converged.astype(jnp.int32))
+        + jnp.sum(kp_m.converged.astype(jnp.int32)),
+        "n_hard": jnp.sum(kp_g.pass_hard.astype(jnp.int32))
+        + jnp.sum(kp_m.pass_hard.astype(jnp.int32)),
+        "n_edge": jnp.sum(kp_g.pass_edge.astype(jnp.int32))
+        + jnp.sum(kp_m.pass_edge.astype(jnp.int32)),
+        "n_border": jnp.sum(kp_g.pass_border.astype(jnp.int32))
+        + jnp.sum(kp_m.pass_border.astype(jnp.int32)),
+        "overflow": drops + mov_drop,
+    }
+
+    # --- re-split per octave: grid segment + octave-masked mover block
+    kp_list = []
+    start = 0
+    for o, m_o in enumerate(seg):
+        in_oct = mv_valid & (oct_mv == o)
+        kp_m_o = kp_m._replace(
+            cand_valid=kp_m.cand_valid & in_oct,
+            converged=kp_m.converged & in_oct,
+            pass_hard=kp_m.pass_hard & in_oct,
+            pass_edge=kp_m.pass_edge & in_oct,
+            pass_border=kp_m.pass_border & in_oct,
+        )
+        kp_o = jax.tree_util.tree_map(
+            lambda g, mv, start=start, m_o=m_o: jnp.concatenate(
+                [lax.dynamic_slice_in_dim(g, start, m_o), mv]
+            ),
+            kp_g,
+            kp_m_o,
+        )
+        kp_list.append(kp_o)
+        start += m_o
+    return tuple(kp_list), counters

@@ -500,3 +500,98 @@ def test_fused_orient_desc_matches_staged():
             )
             d_ref = np.asarray(d_ref).astype(np.int32)[0]
             assert np.abs(feats[li, p] - d_ref).max() <= 1, (li, p)
+
+
+def test_detect_all_octaves_fused_tail_matches_per_octave():
+    """The fused cross-octave tail (one mover walk + one acceptance over
+    every octave's slot grid) must produce the same aggregate counters
+    and the same per-octave accepted keypoint sets as running the
+    per-octave slot tail octave by octave."""
+    import dataclasses
+
+    import jax
+
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.sift import detect as D
+
+    # Force the Pallas branch on CPU: detect_candidates_pallas runs in
+    # compiled-interpret via the monkeypatched flag below.
+    cfg = SiftConfig()
+    rng = np.random.default_rng(21)
+    b = 2
+    # Two octaves with different shapes; reuse the sparse-bump +
+    # engineered-mover field builder from the single-octave test by
+    # generating random smooth-ish DoGs with isolated bumps.
+    dogs = []
+    for (h, w) in [(70, 150), (36, 76)]:
+        dog = rng.normal(0, 0.002, (b, 5, h, w)).astype(np.float32)
+        sites = [(ii, jj) for ii in range(4, h - 4, 6)
+                 for jj in range(4, w - 4, 6)]
+        for bb in range(b):
+            picks = rng.permutation(len(sites))
+            for p in picks[:40]:
+                ii, jj = sites[p]
+                ss = int(rng.integers(1, 4))
+                amp = float(rng.uniform(0.05, 0.4) * rng.choice([-1, 1]))
+                wgt = lambda: np.array(
+                    [rng.uniform(0.1, 0.95), 1.0, rng.uniform(0.1, 0.95)]
+                )
+                dog[bb, ss - 1:ss + 2, ii - 1:ii + 2, jj - 1:jj + 2] += (
+                    amp * np.einsum("i,j,k->ijk", wgt(), wgt(), wgt())
+                ).astype(np.float32)
+        dogs.append(jnp.asarray(dog))
+
+    from siftmetal_tpu.ops.pallas import detect as pd
+
+    orig = pd.detect_candidates_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw.setdefault("tile_h", 16)
+        return orig(*args, **kw)
+
+    orig_use = D._use_pallas_detect
+    pd_detect = pd.detect_candidates_pallas
+    try:
+        pd.detect_candidates_pallas = interp
+        D._use_pallas_detect = lambda cfg: True
+        fused_kp, fused_ctr = D.detect_all_octaves_batch(dogs, cfg)
+
+        # Per-octave reference: the slot-grid tail octave by octave.
+        ref_ctr = {}
+        ref_kp = []
+        for o, dog in enumerate(dogs):
+            kp, ctr = D.detect_octave_batch(dog, o, cfg)
+            ref_kp.append(kp)
+            for k, v in ctr.items():
+                ref_ctr[k] = ref_ctr.get(k, 0) + v
+    finally:
+        pd.detect_candidates_pallas = pd_detect
+        D._use_pallas_detect = orig_use
+
+    for key in ref_ctr:
+        np.testing.assert_array_equal(
+            np.asarray(fused_ctr[key]), np.asarray(ref_ctr[key]), err_msg=key
+        )
+
+    def accepted(kp, bb):
+        sel = np.asarray(kp.pass_border[bb]) & np.asarray(
+            kp.cand_valid[bb]
+        )
+        rows = set()
+        for t in zip(
+            np.asarray(kp.scale[bb])[sel],
+            np.asarray(kp.i[bb])[sel],
+            np.asarray(kp.j[bb])[sel],
+            np.round(np.asarray(kp.x[bb])[sel], 4),
+            np.round(np.asarray(kp.y[bb])[sel], 4),
+            np.round(np.asarray(kp.sigma[bb])[sel], 4),
+        ):
+            rows.add(tuple(float(v) for v in t))
+        return rows
+
+    for o in range(len(dogs)):
+        for bb in range(b):
+            assert accepted(fused_kp[o], bb) == accepted(ref_kp[o], bb), (
+                o, bb,
+            )
