@@ -248,8 +248,7 @@ def _descriptor_kernel(
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
-    slot = jax.lax.rem(g, 2)
-    nslot = jax.lax.rem(g + 1, 2)
+    slot = jax.lax.rem(g, 3)
 
     def dma(grp, sl, u, dma_rows, dma_cols):
         # ONE copy per lane: both gradient planes ride the leading dim.
@@ -273,16 +272,19 @@ def _descriptor_kernel(
                     def _():
                         dma(grp, sl, u, rows_b, cols_b).start()
 
-    # Double buffering: group g's patches were prefetched by program g-1;
-    # EVERY program prefetches group g+1 (per-lane validity inside), so
+    # Triple buffering: group g's patches were prefetched TWO programs
+    # ahead, so each group's DMA has ~2 groups of compute time to land;
+    # EVERY program prefetches group g+2 (per-lane validity inside), so
     # the chain holds for ragged validity patterns, not just prefixes.
     @pl.when(g == 0)
     def _():
-        start_group(0, slot)
+        start_group(0, 0)
+        if n_g > 1:
+            start_group(1, 1)
 
-    @pl.when(g + 1 < n_g)
+    @pl.when(g + 2 < n_g)
     def _():
-        start_group(g + 1, nslot)
+        start_group(g + 2, jax.lax.rem(g + 2, 3))
 
     # Zero the whole block once; valid lanes overwrite below. Keeps the
     # invalid-lane contract (zeros) with a single unconditional store
@@ -439,8 +441,8 @@ def descriptor_lanes_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2, dma_rows, dma_cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((3, GROUP, 2, dma_rows, dma_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, GROUP)),
         ],
     )
     out = pl.pallas_call(
@@ -474,8 +476,7 @@ def _orientation_kernel(
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
-    slot = jax.lax.rem(g, 2)
-    nslot = jax.lax.rem(g + 1, 2)
+    slot = jax.lax.rem(g, 3)
 
     def dma(grp, sl, u, dma_rows, dma_cols):
         # ONE copy per lane: both gradient planes ride the leading dim.
@@ -497,13 +498,16 @@ def _orientation_kernel(
                     def _():
                         dma(grp, sl, u, rows_b, cols_b).start()
 
+    # Triple buffering (see the descriptor kernel's note).
     @pl.when(g == 0)
     def _():
-        start_group(0, slot)
+        start_group(0, 0)
+        if n_g > 1:
+            start_group(1, 1)
 
-    @pl.when(g + 1 < n_g)
+    @pl.when(g + 2 < n_g)
     def _():
-        start_group(g + 1, nslot)
+        start_group(g + 2, jax.lax.rem(g + 2, 3))
 
     out_ref[:, :] = jnp.zeros_like(out_ref)
 
@@ -605,8 +609,8 @@ def orientation_hist_lanes_pallas(
             (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2, dma_rows, dma_cols), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((3, GROUP, 2, dma_rows, dma_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA((3, GROUP)),
         ],
     )
     out = pl.pallas_call(
