@@ -277,3 +277,61 @@ def blur_mxu_banded(
     )
     y = y.reshape(*y.shape[:-3], -1, y.shape[-1])[..., :h, :]
     return y.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _upsample_blur_matrix(sigma: float, n: int) -> "np.ndarray":
+    """[2n, n] matrix = Gaussian band (at 2n) COMPOSED with IPOL 2x
+    bilinear upsampling — the seed stage's upsample+blur collapses to
+    one rectangular matmul per axis, never materializing the upsampled
+    image (both ops are linear; see ops/image.upsample_bilinear_2x for
+    the sampling: even outputs copy, odd outputs are neighbor midpoints
+    with symmetric extension at the far edge)."""
+    u = np.zeros((2 * n, n), np.float64)
+    for i in range(n):
+        u[2 * i, i] = 1.0
+        u[2 * i + 1, i] += 0.5
+        u[2 * i + 1, min(i + 1, n - 1)] += 0.5
+    t = _band_matrix(sigma, 2 * n).astype(np.float64)
+    return (t @ u).astype(np.float32)
+
+
+def seed_blur_mxu(
+    image: jnp.ndarray, sigma: float, out_dtype=None, precision="highest"
+) -> jnp.ndarray:
+    """Fused 2x-bilinear-upsample + Gaussian blur as two rectangular
+    MXU matmuls: [..., H, W] -> [..., 2H, 2W]. Matches
+    ``blur(upsample_bilinear_2x(x), sigma)`` to fp32 rounding."""
+    if out_dtype is None:
+        out_dtype = image.dtype
+    h, w = image.shape[-2], image.shape[-1]
+    c_w = jnp.asarray(_upsample_blur_matrix(float(sigma), w))
+    c_h = jnp.asarray(_upsample_blur_matrix(float(sigma), h))
+    bf16 = image.dtype == jnp.bfloat16
+    if bf16:
+        c_w = c_w.astype(jnp.bfloat16)
+        c_h = c_h.astype(jnp.bfloat16)
+        prec = None
+    else:
+        prec = (
+            lax.Precision.HIGH
+            if precision == "high"
+            else lax.Precision.HIGHEST
+        )
+    x = jnp.einsum(
+        "...hw,vw->...hv",
+        image,
+        c_w,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+    y = jnp.einsum(
+        "ij,...jw->...iw",
+        c_h,
+        x,
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(out_dtype)

@@ -45,6 +45,19 @@ def seed_image(
     forwarded to the blur (bf16 fast mode reads a bf16 input but emits
     the fp32 accumulator).
     """
+    mxu = config.use_mxu_pyramid and jax.default_backend() == "tpu"
+    if config.delta_min == 0.5 and mxu:
+        # The upsample and blur are both linear: fold them into ONE
+        # rectangular matmul per axis (never materializes the 2x
+        # image; ops/gaussian.seed_blur_mxu).
+        from ..ops.gaussian import seed_blur_mxu
+
+        return seed_blur_mxu(
+            gray,
+            config.seed_blur_sigma(),
+            out_dtype=out_dtype,
+            precision=config.mxu_blur_precision,
+        )
     if config.delta_min == 1.0:
         scaled = gray
     elif config.delta_min == 0.5:

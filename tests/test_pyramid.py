@@ -156,3 +156,17 @@ def test_blur_mxu_banded_matches_shift_add(shape, sigma):
     ref = np.asarray(blur(x, sigma))
     got = np.asarray(blur_mxu_banded(x, sigma))
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+
+def test_seed_blur_mxu_matches_two_step():
+    """Fused upsample+blur seed (one rectangular matmul per axis) ==
+    upsample_bilinear_2x followed by the shift-add blur."""
+    from siftmetal_tpu.ops.gaussian import blur, seed_blur_mxu
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 48, 64)).astype(np.float32))
+    sigma = 1.2489996
+    ref = np.asarray(blur(upsample_bilinear_2x(x), sigma))
+    got = np.asarray(seed_blur_mxu(x, sigma))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0, atol=4e-6)
