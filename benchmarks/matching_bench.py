@@ -21,7 +21,7 @@ from jax import lax
 
 
 def bench(q_n, t_n, iters=30):
-    from siftmetal_tpu.match.matcher import match_bruteforce, match_two_stage
+    from siftmetal_tpu.match.matcher import match_bruteforce
 
     rng = np.random.default_rng(0)
     qf = jnp.asarray(rng.integers(0, 200, (q_n, 128)).astype(np.uint8))
@@ -31,7 +31,6 @@ def bench(q_n, t_n, iters=30):
 
     for name, fn in [
         ("exact", match_bruteforce),
-        ("two-stage", lambda *a, **k: match_two_stage(*a, n_candidates=32, **k)),
     ]:
         @jax.jit
         def loop(qf):

@@ -12,7 +12,7 @@ Public entry points:
     sift = SIFT(height, width)
     keypoints, descriptors, counters = sift.extract(image)
 
-    from siftmetal_tpu.match import match_bruteforce, match_two_stage
+    from siftmetal_tpu.match import match_bruteforce
     from siftmetal_tpu.geometry import find_homography, find_fundamental
     from siftmetal_tpu.slam import SfmMap, bundle_adjust
 """

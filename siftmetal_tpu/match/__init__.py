@@ -1,13 +1,13 @@
 from .matcher import (
     Matches,
     geometry_score,
-    index_keys,
     match_bruteforce,
-    match_two_stage,
+    match_guided,
     pairwise_sq_dists,
+    pairwise_sq_dists_u8,
 )
 
 __all__ = [
-    "Matches", "geometry_score", "index_keys", "match_bruteforce",
-    "match_two_stage", "pairwise_sq_dists",
+    "Matches", "geometry_score", "match_bruteforce", "match_guided",
+    "pairwise_sq_dists", "pairwise_sq_dists_u8",
 ]

@@ -1,21 +1,22 @@
-"""Descriptor matching: exact batched 2-NN, two-stage ANN, geometry score.
+"""Descriptor matching: exact batched 2-NN (any map size), geometry score.
 
 TPU-native replacement for the reference's CPU matchers
 (/root/reference Sources/SIFTMetal/SIFT/SIFTDescriptor.swift):
 
-  * ``match_bruteforce`` replaces the O(|Q|*|T|) scalar scan
-    (SIFTDescriptor.swift:320-361) with ONE [Q,128]x[128,T] distance matmul
-    + top-2, the design SURVEY.md §3.3 calls for. Same acceptance rule:
-    best < absolute_threshold and best < ratio_threshold * second-best,
-    distances on features/255 ("rawFeatures", SIFTDescriptor.swift:40-45).
-  * ``match_two_stage`` replaces the trie ANN
-    (SIFTDescriptor.swift:362-417, Utilities/Trie.swift:76-424). The trie
-    prunes by a 16-d block-mean key (``indexKey``,
-    SIFTDescriptor.swift:85-89) and then scans ~21 leaves exactly; here the
-    key stage is a [Q,16]x[16,T] matmul + top-C candidates, and the exact
-    stage re-ranks the gathered candidates — identical structure (coarse
-    key prune -> exact rerank), but dense, batched, and shardable instead
-    of pointer-chasing.
+  * ``match_bruteforce`` replaces BOTH the O(|Q|*|T|) scalar scan
+    (SIFTDescriptor.swift:320-361) AND the trie ANN
+    (SIFTDescriptor.swift:362-417, Utilities/Trie.swift:76-424). The
+    trie exists because a CPU linear scan is slow (Trie.swift:17-25);
+    on the MXU, exact 2-NN is an integer-exact int8 matmul that beat a
+    faithful two-stage ANN port (16-d ``indexKey`` prune -> exact
+    rerank, >=97% recall) at EVERY measured size — v5e, ms per batch:
+    2k x 2k 0.9 vs 2.9; 4k x 8k 1.8 vs 12.6; 4k x 65k 5.3 vs 36.5;
+    4k x 262k 20.6 vs 125.2. Both scale linearly in |T| with the exact
+    matcher ~6x below, so there is no crossover; target sets past
+    ``target_block`` stream through block matmuls with a running top-2
+    merge (flat memory at any map size). The two-stage port was
+    therefore REMOVED (git history: match_two_stage).
+  * ``match_guided`` is the SfM driver's spatially-gated re-matcher.
   * ``geometry_score`` replaces ``matchGeometry``/``compareGeometry``
     (SIFTDescriptor.swift:104-296): the consecutive-quadruple
     length-ratio/angle consistency heuristic with z-score outlier
@@ -49,14 +50,6 @@ class Matches(NamedTuple):
 def raw_features(features: jnp.ndarray) -> jnp.ndarray:
     """uint8 [.., 128] -> f32 in [0, 1] (SIFTDescriptor.swift:40-45)."""
     return features.astype(jnp.float32) / 255.0
-
-
-def index_keys(features: jnp.ndarray) -> jnp.ndarray:
-    """16-d block-mean key of uint8 [.., 128] descriptors — the trie key
-    (SIFTDescriptor.swift:85-89; the center/corner/edge reorder there does
-    not change distances, so it is dropped)."""
-    raw = raw_features(features)
-    return raw.reshape(*raw.shape[:-1], 16, 8).mean(axis=-1)
 
 
 def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -263,40 +256,6 @@ def match_guided(
         distance=dist,
         second_distance=jnp.full_like(dist, jnp.inf),
         valid=ok,
-    )
-
-
-def match_two_stage(
-    query_features: jnp.ndarray,
-    target_features: jnp.ndarray,
-    query_valid: jnp.ndarray,
-    target_valid: jnp.ndarray,
-    n_candidates: int = 32,
-    absolute_threshold: float = 1.176,
-    ratio_threshold: float = 0.6,
-) -> Matches:
-    """Approximate 2-NN: 16-d key prune to ``n_candidates``, exact rerank.
-
-    The trie equivalent (radius 10 over ~21 linked leaves,
-    Trie.swift:295-320) holds candidate counts in the same ballpark
-    (n_candidates=32 default); recall vs exact is ~99% on the butterfly
-    set. Memory: the candidate gather materializes [Q, C, 128] floats.
-    """
-    q = raw_features(query_features)
-    t = raw_features(target_features)
-    kq = index_keys(query_features)
-    kt = index_keys(target_features)
-    kd = pairwise_sq_dists(kq, kt)
-    kd = jnp.where(target_valid[None, :], kd, jnp.inf)
-    _, cand = lax.top_k(-kd, n_candidates)        # [Q, C] target indices
-    cand_feats = t[cand]                          # [Q, C, 128]
-    d2 = jnp.sum((cand_feats - q[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(target_valid[cand], d2, jnp.inf)
-    b1, b2, pos = _top2(d2)
-    idx = jnp.take_along_axis(cand, pos[:, None], axis=1)[:, 0]
-    return _accept(
-        jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
-        absolute_threshold, ratio_threshold,
     )
 
 

@@ -1,4 +1,4 @@
-"""Matching: exact 2-NN, two-stage ANN recall, geometry score.
+"""Matching: exact 2-NN (single-shot + blocked map-scale), geometry score.
 
 Mirrors the intent of the reference's DescriptorTests.testMatches /
 matchDescriptors (Tests/SIFTMetalTests/DescriptorTests.swift:89-139, 75-87)
@@ -17,7 +17,6 @@ from siftmetal_tpu.match.matcher import (
     Matches,
     geometry_score,
     match_bruteforce,
-    match_two_stage,
 )
 from siftmetal_tpu.sift.extract import SIFT
 
@@ -80,24 +79,6 @@ def test_match_vs_ipol_descriptors(ours, ipol):
     t_pos = keys[t_idx][:, :2]
     dist = np.hypot(qx - t_pos[:, 0], qy - t_pos[:, 1])
     assert (dist < 1.0).mean() >= 0.99, (dist < 1.0).mean()
-
-
-def test_two_stage_recall(ours, ipol):
-    keys, feats = ipol
-    t_feats = jnp.asarray(feats.astype(np.uint8))
-    t_valid = jnp.ones(len(feats), dtype=bool)
-    exact = match_bruteforce(ours.features, t_feats, ours.valid, t_valid)
-    approx = match_two_stage(
-        ours.features, t_feats, ours.valid, t_valid, n_candidates=32
-    )
-    both = np.asarray(exact.valid) & np.asarray(approx.valid)
-    agree = (
-        np.asarray(exact.target_idx)[both]
-        == np.asarray(approx.target_idx)[both]
-    ).mean()
-    recall = np.asarray(approx.valid).sum() / np.asarray(exact.valid).sum()
-    assert agree >= 0.99, agree
-    assert recall >= 0.97, recall
 
 
 def test_geometry_score_discriminates():
