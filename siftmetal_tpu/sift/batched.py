@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import SiftConfig
 from . import pyramid as _pyramid
@@ -104,6 +105,12 @@ def extract_gray_batch(
     profile_acc = jnp.float32(0)
     kp_list, desc_rows = [], []
     lane_overflow = jnp.zeros((b,), jnp.int32)
+    # Phase A: per-octave keypoint compaction + RAW orientation
+    # histograms. Smoothing + peak detection then run ONCE over every
+    # octave's lanes concatenated (phase A/B split) — they are lane-wise
+    # ops, and running them per octave paid 6x the fixed per-op
+    # dispatch cost.
+    stage = []   # (octave, budget, kpc, fields, hist)
     for o in range(n_octaves):
         h, w = dogs[o].shape[-2], dogs[o].shape[-1]
         budget = _detect.keypoint_budget(config, (h, w), o)
@@ -193,11 +200,25 @@ def extract_gray_batch(
                         g, kp.scale, kp.x_oct, kp.y_oct, kp.sigma_oct, config
                     )
                 )(gaussians[o], kpc)
+        stage.append((o, budget, kpc, fields, hist))
 
-        hist = _describe._smooth_circular(
-            hist, config.orientation_smoothing_iterations
+    if _profile_stop == "compact":
+        return profile_acc
+
+    # Fused smoothing + peak detection over every octave's lanes.
+    if stage:
+        hist_all = jnp.concatenate([s[4] for s in stage], axis=1)
+        hist_all = _describe._smooth_circular(
+            hist_all, config.orientation_smoothing_iterations
         )
-        theta, ori_valid = _describe.orientation_peaks(hist, config)
+        theta_all, ov_all = _describe.orientation_peaks(hist_all, config)
+
+    # Phase B: per-octave lane compaction + descriptors.
+    off = 0
+    for o, budget, kpc, fields, _hist in stage:
+        theta = lax.slice_in_dim(theta_all, off, off + budget, axis=1)
+        ori_valid = lax.slice_in_dim(ov_all, off, off + budget, axis=1)
+        off += budget
         ori_valid = ori_valid & kpc.valid[:, :, None]
         if _profile_stop == "orient":
             profile_acc = profile_acc + jnp.sum(
