@@ -52,6 +52,12 @@ from ...config import SiftConfig
 
 GROUP = 8  # lanes per grid step (matches the 8-sublane output tiling)
 
+# Max lanes per kernel CALL: ~9-10 scalar-prefetch s32 arrays live in
+# SMEM (1 MB total); 16k lanes x 10 x 4 B = 0.64 MB leaves headroom.
+# Larger lane sets (batch 16+ blew the budget at 32k lanes) split into
+# sequential calls inside the public wrappers.
+MAX_LANES_PER_CALL = 16384
+
 
 def _atan_poly(q: jnp.ndarray) -> jnp.ndarray:
     """Minimax polynomial arctan on [0, 1] (~1e-6 max error) — Mosaic has
@@ -406,6 +412,20 @@ def descriptor_lanes_pallas(
     DMA and vector work than the sigma_max-sized window."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
+    if l > MAX_LANES_PER_CALL:
+        outs = []
+        for s0 in range(0, l, MAX_LANES_PER_CALL):
+            s1 = min(s0 + MAX_LANES_PER_CALL, l)
+            outs.append(
+                descriptor_lanes_pallas(
+                    fields, scale[s0:s1], x_oct[s0:s1], y_oct[s0:s1],
+                    sigma_oct[s0:s1], theta[s0:s1], config,
+                    valid=None if valid is None else valid[s0:s1],
+                    frame=None if frame is None else frame[s0:s1],
+                    interpret=interpret,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
     if valid is None:
         valid = jnp.ones((l,), bool)
 
@@ -582,6 +602,20 @@ def orientation_hist_lanes_pallas(
     :func:`descriptor_lanes_pallas`."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
+    if l > MAX_LANES_PER_CALL:
+        outs = []
+        for s0 in range(0, l, MAX_LANES_PER_CALL):
+            s1 = min(s0 + MAX_LANES_PER_CALL, l)
+            outs.append(
+                orientation_hist_lanes_pallas(
+                    fields, scale[s0:s1], x_oct[s0:s1], y_oct[s0:s1],
+                    sigma_oct[s0:s1], config,
+                    valid=None if valid is None else valid[s0:s1],
+                    frame=None if frame is None else frame[s0:s1],
+                    interpret=interpret,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
     if valid is None:
         valid = jnp.ones((l,), bool)
 

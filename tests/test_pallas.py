@@ -595,3 +595,60 @@ def test_detect_all_octaves_fused_tail_matches_per_octave():
             assert accepted(fused_kp[o], bb) == accepted(ref_kp[o], bb), (
                 o, bb,
             )
+
+
+def test_patch_kernels_lane_chunking():
+    """Lane sets past MAX_LANES_PER_CALL split into sequential kernel
+    calls (per-call scalar prefetch must fit the 1 MB SMEM budget);
+    results must equal one unsplit call."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas import patches as P
+
+    cfg = SiftConfig()
+    rng = np.random.default_rng(5)
+    s = cfg.n_gaussians_per_octave
+    h, w = 96, 160
+    gauss = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
+    fields = P.prepare_patch_fields(gauss, cfg)
+
+    L = 32
+    scale = jnp.asarray(
+        rng.integers(1, cfg.n_scales_per_octave + 1, L).astype(np.int32)
+    )
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
+    sig = jnp.asarray(rng.uniform(1.7, 3.6, L).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, L).astype(np.float32))
+    valid = jnp.asarray(rng.random(L) > 0.3)
+
+    ref_o = np.asarray(
+        P.orientation_hist_lanes_pallas(
+            fields, scale, x_oct, y_oct, sig, cfg, valid=valid,
+            interpret=True,
+        )
+    )
+    ref_d = np.asarray(
+        P.descriptor_lanes_pallas(
+            fields, scale, x_oct, y_oct, sig, theta, cfg, valid=valid,
+            interpret=True,
+        )
+    )
+    orig = P.MAX_LANES_PER_CALL
+    try:
+        P.MAX_LANES_PER_CALL = 8  # force 4 chunks
+        got_o = np.asarray(
+            P.orientation_hist_lanes_pallas(
+                fields, scale, x_oct, y_oct, sig, cfg, valid=valid,
+                interpret=True,
+            )
+        )
+        got_d = np.asarray(
+            P.descriptor_lanes_pallas(
+                fields, scale, x_oct, y_oct, sig, theta, cfg, valid=valid,
+                interpret=True,
+            )
+        )
+    finally:
+        P.MAX_LANES_PER_CALL = orig
+    np.testing.assert_allclose(got_o, ref_o, rtol=1e-6)
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-6)
