@@ -52,11 +52,12 @@ from ...config import SiftConfig
 
 GROUP = 8  # lanes per grid step (matches the 8-sublane output tiling)
 
-# Max lanes per kernel CALL: ~9-10 scalar-prefetch s32 arrays live in
-# SMEM (1 MB total); 16k lanes x 10 x 4 B = 0.64 MB leaves headroom.
-# Larger lane sets (batch 16+ blew the budget at 32k lanes) split into
+# Max lanes per kernel CALL: ~10 scalar-prefetch s32 arrays live in
+# SMEM (1 MB total); 20480 lanes x 10 x 4 B = 0.82 MB fits with
+# headroom (batch 8 octave 0 is 19456 lanes and must stay one call);
+# batch 16+ blew the budget at 32k lanes and now splits into
 # sequential calls inside the public wrappers.
-MAX_LANES_PER_CALL = 16384
+MAX_LANES_PER_CALL = 20480
 
 
 def _atan_poly(q: jnp.ndarray) -> jnp.ndarray:
