@@ -3,11 +3,12 @@
 The per-lane patch stages dominate post-detection cost in the XLA path:
 each lane's window becomes a separate tiny dynamic-slice DMA (~1.8 us
 each; thousands per frame). These Pallas kernels instead walk lanes in
-groups of 8 per grid step, issue all 16 patch DMAs one group ahead
-(double-buffered), and fuse the entire per-lane reduction — Gaussian
-window, soft assignment, histogram contraction — in VMEM.
+groups of 8 per grid step, issue ONE window copy per lane (both
+gradient planes ride the leading dim of the stacked field) two groups
+ahead (triple-buffered), and fuse the entire per-lane reduction —
+Gaussian window, soft assignment, histogram contraction — in VMEM.
 
-Three throughput tricks beyond the r1 version:
+Throughput tricks beyond the r1 version (each measured; see git log):
 
   * **Compute-window compaction.** DMA windows must be 8/128-aligned, so
     the fetched window is up to [88, 256] while the true patch is at most
@@ -28,6 +29,12 @@ Three throughput tricks beyond the r1 version:
     descriptor geometry), and a batch of frames concatenates fields along
     the row axis so one kernel call serves all frames (per-lane ``frame``
     indices select the slice).
+  * **Per-group window sizes.** Each group of 8 lanes picks the
+    smallest static window bucket that holds every lane's true patch
+    (lanes arrive scale-major, so groups are radius-homogeneous).
+  * **Packed outputs.** Descriptors emit as one [1, 128] row per lane
+    (n_hist^2 * n_ori = 128 packs exactly) — 16x less store traffic
+    than a rows-with-8-used-lanes layout.
 
 Alignment rules (Mosaic): DMA offsets must be 8-aligned (sublanes) and
 128-aligned (lanes); iota must be >= 2-D; rolls use non-negative shifts.
