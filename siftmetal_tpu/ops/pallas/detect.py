@@ -56,7 +56,6 @@ def _detect_kernel(
     c_oj_ref,
     c_os_ref,
     c_val_ref,
-    c_edge_ref,
     fpk_ref,
     edge_ref,
     rawc_ref,
@@ -109,34 +108,73 @@ def _detect_kernel(
 
     slabs = {}
 
+    def slab_c(t, di):
+        key = (t, di)
+        if key not in slabs:
+            slabs[key] = row_slab(t, di)
+        return slabs[key]
+
     def nb(s, ds, di, dj):
         """Plane of dog[s+ds, (r+1)+di, (c+1)+dj] over tile rows r, cols c.
 
         Column wrap garbage lands in cols >= w_valid-2, which are masked
         out of every consumer."""
-        key = (s + ds, di)
-        if key not in slabs:
-            slabs[key] = row_slab(s + ds, di)
-        return col(slabs[key], dj + 1)
+        return col(slab_c(s + ds, di), dj + 1)
 
     raw_total = jnp.zeros((1, 1), jnp.int32)
     soft_total = jnp.zeros((1, 1), jnp.int32)
     drop_total = jnp.zeros((1, 1), jnp.int32)
 
+    # Separable 26-neighbour min/max, cached per scale plane: the naive
+    # form is 26 rolls + 50 min/max per scale; row-folding each plane
+    # once (row3) and col-folding the side scales once (nine, shared by
+    # adjacent center scales) cuts that ~60%. max/min are associative,
+    # so the result is bit-exact with the naive reduction.
+    colr = lambda plane, dj: col(plane, dj + 1)  # nb()'s col alignment
+    _row3 = {}
+
+    def row3(t):
+        if t not in _row3:
+            a = slab_c(t, -1)
+            b_ = slab_c(t, 0)
+            d = slab_c(t, 1)
+            _row3[t] = (
+                jnp.maximum(jnp.maximum(a, b_), d),
+                jnp.minimum(jnp.minimum(a, b_), d),
+            )
+        return _row3[t]
+
+    _nine = {}
+
+    def nine(t):
+        """Full 3x3 max/min of scale plane t, col-aligned to centers."""
+        if t not in _nine:
+            mx, mn = row3(t)
+            _nine[t] = (
+                jnp.maximum(
+                    jnp.maximum(colr(mx, -1), colr(mx, 0)), colr(mx, 1)
+                ),
+                jnp.minimum(
+                    jnp.minimum(colr(mn, -1), colr(mn, 0)), colr(mn, 1)
+                ),
+            )
+        return _nine[t]
+
     for s in range(1, n_scales + 1):
         c = nb(s, 0, 0, 0)
 
         # -- strict 26-neighbour extrema + soft threshold ---------------
-        lo = None
-        hi = None
-        for ds in (-1, 0, 1):
-            for di in (-1, 0, 1):
-                for dj in (-1, 0, 1):
-                    if ds == 0 and di == 0 and dj == 0:
-                        continue
-                    v = nb(s, ds, di, dj)
-                    lo = v if lo is None else jnp.minimum(lo, v)
-                    hi = v if hi is None else jnp.maximum(hi, v)
+        up9, un9 = nine(s - 1)
+        dp9, dn9 = nine(s + 1)
+        mx3, mn3 = row3(s)
+        # In-plane 8-neighbourhood: side columns of the row-folded plane
+        # plus the vertical pair (row +-1 of the center column).
+        side_hi = jnp.maximum(colr(mx3, -1), colr(mx3, 1))
+        side_lo = jnp.minimum(colr(mn3, -1), colr(mn3, 1))
+        vert_hi = jnp.maximum(nb(s, 0, -1, 0), nb(s, 0, 1, 0))
+        vert_lo = jnp.minimum(nb(s, 0, -1, 0), nb(s, 0, 1, 0))
+        hi = jnp.maximum(jnp.maximum(up9, dp9), jnp.maximum(side_hi, vert_hi))
+        lo = jnp.minimum(jnp.minimum(un9, dn9), jnp.minimum(side_lo, vert_lo))
         raw = ((c > hi) | (c < lo)) & inside
         soft = raw & (jnp.abs(c) > soft_threshold)
 
@@ -172,12 +210,16 @@ def _detect_kernel(
             - hij * (hij * hss - hjs * his)
             + his * (hij * hjs - hjj * his)
         )
-        aa = (hjj * hss - hjs * hjs) / det
-        ab = (his * hjs - hij * hss) / det
-        ac = (hij * hjs - his * hjj) / det
-        bb = (hii * hss - his * his) / det
-        bc2 = (his * hij - hii * hjs) / det
-        cc = (hii * hjj - hij * hij) / det
+        # ONE reciprocal instead of six divides (divides are multi-pass
+        # on the VPU). Within the interpret-equivalence rtol vs the XLA
+        # reference's per-cofactor divides.
+        inv_det = 1.0 / det
+        aa = (hjj * hss - hjs * hjs) * inv_det
+        ab = (his * hjs - hij * hss) * inv_det
+        ac = (hij * hjs - his * hjj) * inv_det
+        bb = (hii * hss - his * his) * inv_det
+        bc2 = (his * hij - hii * hjs) * inv_det
+        cc = (hii * hjj - hij * hij) * inv_det
 
         ofst_i = -(aa * gi + ab * gj + ac * gs)
         ofst_j = -(ab * gi + bb * gj + bc2 * gs)
@@ -215,26 +257,28 @@ def _detect_kernel(
             )
             shift *= 2
         bc = csum[:, w_pad - 1 : w_pad]  # [tile_h, 1] per-row count
-        cols, vois, vojs, voss, vvals, vedges = [], [], [], [], [], []
+        # Column index and edge flag share ONE pick: bit 13 of the
+        # harvested word is the edge acceptance (w_pad < 8192 always —
+        # checked by the wrapper), unpacked by the caller.
+        colpk = gc | jnp.where(edge_ok, 1 << 13, 0)
+        cols, vois, vojs, voss, vvals = [], [], [], [], []
         for sl in range(slots):
             hit = soft & (csum == sl + 1)           # one-hot row (or empty)
             pick = lambda pl: jnp.sum(
                 jnp.where(hit, pl, 0.0), axis=1, keepdims=True
             )
-            cols.append(jnp.max(jnp.where(hit, gc, 0), axis=1, keepdims=True))
+            cols.append(
+                jnp.max(jnp.where(hit, colpk, 0), axis=1, keepdims=True)
+            )
             vois.append(pick(ofst_i))
             vojs.append(pick(ofst_j))
             voss.append(pick(ofst_s))
             vvals.append(pick(fval_keep))
-            vedges.append(
-                jnp.max(jnp.where(hit & edge_ok, 1, 0), axis=1, keepdims=True)
-            )
         cand_ref[0, s - 1] = jnp.concatenate(cols, axis=1)
         c_oi_ref[0, s - 1] = jnp.concatenate(vois, axis=1)
         c_oj_ref[0, s - 1] = jnp.concatenate(vojs, axis=1)
         c_os_ref[0, s - 1] = jnp.concatenate(voss, axis=1)
         c_val_ref[0, s - 1] = jnp.concatenate(vvals, axis=1)
-        c_edge_ref[0, s - 1] = jnp.concatenate(vedges, axis=1).astype(jnp.int8)
         ok_ref[0, s - 1] = (
             bc > jax.lax.broadcasted_iota(jnp.int32, (tile_h, slots), 1)
         ).astype(jnp.int8)
@@ -257,7 +301,7 @@ def detect_candidates_pallas(
     soft_threshold: float,
     edge_threshold: float,
     tile_h: int = 128,
-    slots: int = 8,
+    slots: int = 6,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """[B, S, H, W] DoG -> fused detection with in-kernel compaction.
@@ -288,6 +332,10 @@ def detect_candidates_pallas(
     n_tiles = pl.cdiv(h - 2, tile_h)
     ht = n_tiles * tile_h
     wp = (w + 127) // 128 * 128
+    if wp >= (1 << 13):
+        raise ValueError(
+            f"image width {w} overflows the 13-bit packed column word"
+        )
 
     x = jnp.pad(dog, ((0, 0), (0, 0), (0, ht + 8 - h), (0, wp - w)))
 
@@ -311,7 +359,7 @@ def detect_candidates_pallas(
     scalar_shape = jax.ShapeDtypeStruct((b, n_tiles, 1, 1), jnp.int32)
 
     (
-        cand, ok, c_oi, c_oj, c_os, c_val, c_edge,
+        cand, ok, c_oi, c_oj, c_os, c_val,
         fpk, edge, rawc, softc, dropc,
     ) = pl.pallas_call(
         functools.partial(
@@ -328,7 +376,6 @@ def detect_candidates_pallas(
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            plane(slots),
             plane(slots),
             plane(slots),
             plane(slots),
@@ -352,7 +399,6 @@ def detect_candidates_pallas(
             pshape(jnp.float32, slots),
             pshape(jnp.float32, slots),
             pshape(jnp.float32, slots),
-            pshape(jnp.int8, slots),
             jax.ShapeDtypeStruct((b, n_scales, 4, ht, wp), jnp.float32),
             pshape(jnp.int8, wp),
             scalar_shape,
@@ -370,10 +416,10 @@ def detect_candidates_pallas(
     )(x)
 
     return (
-        cand,
+        cand & ((1 << 13) - 1),
         ok.astype(bool),
         (c_oi, c_oj, c_os, c_val),
-        c_edge.astype(bool),
+        (cand >> 13).astype(bool),
         fpk,
         edge.astype(bool),
         jnp.sum(rawc, axis=(1, 2, 3)),

@@ -301,12 +301,16 @@ def dense_taylor_fields(dog: jnp.ndarray) -> jnp.ndarray:
         - hij * (hij * hss - hjs * his)
         + his * (hij * hjs - hjj * his)
     )
-    aa = (hjj * hss - hjs * hjs) / det
-    ab = (his * hjs - hij * hss) / det
-    ac = (hij * hjs - his * hjj) / det
-    bb = (hii * hss - his * his) / det
-    bc = (his * hij - hii * hjs) / det
-    cc = (hii * hjj - hij * hij) / det
+    # One reciprocal, six multiplies — same form as the Pallas kernel
+    # (ops/pallas/detect.py) so the two paths stay bit-identical; also
+    # measurably cheaper than six divides on the VPU.
+    inv_det = 1.0 / det
+    aa = (hjj * hss - hjs * hjs) * inv_det
+    ab = (his * hjs - hij * hss) * inv_det
+    ac = (hij * hjs - his * hjj) * inv_det
+    bb = (hii * hss - his * his) * inv_det
+    bc = (his * hij - hii * hjs) * inv_det
+    cc = (hii * hjj - hij * hij) * inv_det
 
     ofst_i = -(aa * gi + ab * gj + ac * gs)
     ofst_j = -(ab * gi + bb * gj + bc * gs)

@@ -375,10 +375,14 @@ def test_detect_octave_slots_tail_matches_xla():
     dog_j = jnp.asarray(dog)
 
     octave = 1
+    # slots=8: this synthetic field stacks more bumps per row than the
+    # production default (6) accommodates; strict counter equality with
+    # the XLA path needs a lossless slot budget (drops are counted, so
+    # a tighter budget is *correct* but not *identical*).
     (cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
      n_extrema, n_soft, row_drop) = pd.detect_candidates_pallas(
         dog_j, 0.8 * cfg.dog_threshold, cfg.edge_threshold,
-        tile_h=16, interpret=True,
+        tile_h=16, slots=8, interpret=True,
     )
     k_move = 256
     kp_p, ctr_p = jax.vmap(
