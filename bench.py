@@ -24,10 +24,25 @@ def main() -> None:
     import jax.numpy as jnp
     from jax import lax
 
-    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.config import (
+        FAST_BF16_CONFIG,
+        FAST_CONFIG,
+        SiftConfig,
+    )
     from siftmetal_tpu.sift.batched import extract_gray_batch
 
-    config = SiftConfig()
+    # --config=fast / --config=fast_bf16 select the documented presets
+    # (config.py FAST_CONFIG / FAST_BF16_CONFIG); default is the
+    # IPOL-parity configuration whose number is the headline metric.
+    preset = "default"
+    for a in sys.argv[1:]:
+        if a.startswith("--config="):
+            preset = a.split("=", 1)[1]
+    config = {
+        "default": SiftConfig(),
+        "fast": FAST_CONFIG,
+        "fast_bf16": FAST_BF16_CONFIG,
+    }[preset]
     h, w = 480, 640
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     natural = "--natural" in sys.argv[1:]
