@@ -129,6 +129,51 @@ def _desc_geometry(config: SiftConfig) -> Tuple[int, int]:
     return rows, cols
 
 
+def _pack_geometry(r: int) -> Tuple[int, int, int]:
+    """Packed-compute geometry for a patch of radius ``r``.
+
+    The [comp_rows, 128] compute window wastes most of its lanes when
+    the true patch is narrow (a 29-wide patch uses 23% of the 128
+    lanes, and the per-pixel math plus every histogram reduction pays
+    for all of them). Packing ``k_used`` row-blocks of ``p_rows`` rows
+    side by side into the 128 lanes runs the whole per-lane pipeline on
+    [p_rows, 128] instead — up to 4x fewer VPU ops on the fine-scale
+    buckets that carry most keypoints.
+
+    Returns ``(w_seg, p_rows, k_used)``: segment width in lanes, packed
+    rows, and the number of segments carrying patch rows. Invariant:
+    ``k_used * p_rows >= 2r+1`` (every patch row lands in a segment).
+    The caller must DMA at least ``k_used * p_rows`` rows (only
+    DMA-initialized scratch rows are ever read — stale VMEM could hold
+    NaNs that survive multiply-by-mask); :func:`_bucket_geoms` widens
+    the window when packing needs a few more rows than alignment slack
+    alone (a ~20%-bytes DMA trade for 1.7-4x less critical-path vector
+    work). ``w_seg == 128`` means no packing pays.
+    """
+    side = 2 * r + 1
+    for w_seg in (32, 64):
+        if side > w_seg:
+            continue
+        k_max = 128 // w_seg
+        p = 8
+        while p * k_max < side:
+            p += 8
+        return w_seg, p, -(-side // p)
+    return 128, (side + 7) // 8 * 8, 1
+
+
+def _bucket_geoms(buckets: Tuple[int, ...]) -> Tuple[Tuple, ...]:
+    """Per-bucket (dma_rows, dma_cols, comp_rows, r, w_seg, p_rows,
+    k_used) with the DMA window widened to cover the packed layout."""
+    out = []
+    for r in buckets:
+        rows, cols, comp = _window_geometry(r)
+        w_seg, p_rows, k_used = _pack_geometry(r)
+        rows = max(rows, p_rows * k_used)
+        out.append((rows, cols, comp, r, w_seg, p_rows, k_used))
+    return tuple(out)
+
+
 def _radius_buckets(max_radius: int) -> Tuple[int, ...]:
     """Static window-size buckets covering radii up to ``max_radius``.
 
@@ -247,6 +292,42 @@ def _compact_window(buf, shift_r, shift_c, comp_rows, dma_rows, dma_cols):
     return x[:comp_rows, :128]
 
 
+def _packed_window(
+    buf, shift_r, shift_c, dma_rows, dma_cols, w_seg, p_rows, k_used
+):
+    """:func:`_compact_window`, then pack ``k_used`` row-blocks of
+    ``p_rows`` rows into lane segments of width ``w_seg`` (see
+    :func:`_pack_geometry`): packed (row, col) holds patch pixel
+    (row + p_rows * (col // w_seg), col % w_seg). Lanes past
+    ``k_used * w_seg`` keep segment-0 data — finite (it was DMA'd) and
+    their derived patch coordinates land outside the patch box, so the
+    in-kernel window tests mask them like any other slack pixel."""
+    x = pltpu.roll(buf, dma_cols - shift_c, 1)
+    x = pltpu.roll(x, dma_rows - shift_r, 0)
+    if w_seg == 128:
+        return x[:p_rows, :128]
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_rows, 128), 1)
+    acc = x[:p_rows, :128]
+    for b in range(1, k_used):
+        blk = pltpu.roll(
+            x[b * p_rows:(b + 1) * p_rows, :128], b * w_seg, 1
+        )
+        acc = jnp.where(col // w_seg == b, blk, acc)
+    return acc
+
+
+def _packed_coords(w_seg, p_rows):
+    """Patch-pixel (row, col) index maps of the packed [p_rows, 128]
+    layout, as float32 [p_rows, 128] iota combinations."""
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (p_rows, 128), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (p_rows, 128), 1)
+    if w_seg == 128:
+        return row_iota.astype(jnp.float32), col_iota.astype(jnp.float32)
+    orig_r = (col_iota // w_seg) * p_rows + row_iota
+    orig_c = col_iota & (w_seg - 1)
+    return orig_r.astype(jnp.float32), orig_c.astype(jnp.float32)
+
+
 def _descriptor_kernel(
     # scalar prefetch
     valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
@@ -278,7 +359,9 @@ def _descriptor_kernel(
     def start_group(grp, sl):
         # Per-GROUP window size (lanes arrive scale-major, so groups are
         # radius-homogeneous); only valid lanes transfer.
-        for b, (rows_b, cols_b, _, _) in enumerate(geoms):
+        for b, geom in enumerate(geoms):
+            rows_b, cols_b = geom[0], geom[1]
+
             @pl.when(gbkt_ref[grp] == b)
             def _():
                 for u in range(GROUP):
@@ -308,15 +391,13 @@ def _descriptor_kernel(
     half = lam * (n_hist + 1) / n_hist
     cell = 2.0 * lam / n_hist
 
-    for b, (dma_rows, dma_cols, comp_rows, _) in enumerate(geoms):
+    for b, (dma_rows, dma_cols, _, _, w_seg, p_rows, k_used) in enumerate(
+        geoms
+    ):
       @pl.when(gbkt_ref[g] == b)
-      def _(dma_rows=dma_rows, dma_cols=dma_cols, comp_rows=comp_rows):
-        row_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (comp_rows, 128), 0
-        ).astype(jnp.float32)
-        col_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (comp_rows, 128), 1
-        ).astype(jnp.float32)
+      def _(dma_rows=dma_rows, dma_cols=dma_cols, w_seg=w_seg,
+            p_rows=p_rows, k_used=k_used):
+        row_iota, col_iota = _packed_coords(w_seg, p_rows)
 
         for u in range(GROUP):
             l = g * GROUP + u
@@ -326,13 +407,13 @@ def _descriptor_kernel(
                 dma(g, slot, u, dma_rows, dma_cols).wait()
                 shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
                 shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
-                gi = _compact_window(
+                gi = _packed_window(
                     pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
-                    comp_rows, dma_rows, dma_cols,
+                    dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
-                gj = _compact_window(
+                gj = _packed_window(
                     pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
-                    comp_rows, dma_rows, dma_cols,
+                    dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
                 sig = sig_ref[l]
                 th = th_ref[l]
@@ -447,8 +528,8 @@ def descriptor_lanes_pallas(
     )
     reach = math.sqrt(2.0) * half * sigma_oct + 0.5
     buckets = _radius_buckets(config.desc_patch_radius)
-    geoms = tuple(_window_geometry(r) + (r,) for r in buckets)
-    for rows_b, _, _, r_b in geoms:
+    geoms = _bucket_geoms(buckets)
+    for rows_b, _, _, r_b, *_ in geoms:
         assert rows_b - r_b <= fields.rpad, (r_b, fields.rpad)
 
     gbkt, radius_l = _group_buckets(reach, valid, buckets)
@@ -456,7 +537,8 @@ def descriptor_lanes_pallas(
         fields, scale, x_oct, y_oct, radius_l, frame, valid
     )
 
-    dma_rows, dma_cols, _, _ = geoms[-1]
+    dma_rows = max(g[0] for g in geoms)
+    dma_cols = max(g[1] for g in geoms)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
         grid=(l // GROUP,),
@@ -518,7 +600,9 @@ def _orientation_kernel(
         )
 
     def start_group(grp, sl):
-        for b, (rows_b, cols_b, _, _) in enumerate(geoms):
+        for b, geom in enumerate(geoms):
+            rows_b, cols_b = geom[0], geom[1]
+
             @pl.when(gbkt_ref[grp] == b)
             def _():
                 for u in range(GROUP):
@@ -539,15 +623,13 @@ def _orientation_kernel(
 
     out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    for b, (dma_rows, dma_cols, comp_rows, _) in enumerate(geoms):
+    for b, (dma_rows, dma_cols, _, _, w_seg, p_rows, k_used) in enumerate(
+        geoms
+    ):
       @pl.when(gbkt_ref[g] == b)
-      def _(dma_rows=dma_rows, dma_cols=dma_cols, comp_rows=comp_rows):
-        row_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (comp_rows, 128), 0
-        ).astype(jnp.float32)
-        col_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (comp_rows, 128), 1
-        ).astype(jnp.float32)
+      def _(dma_rows=dma_rows, dma_cols=dma_cols, w_seg=w_seg,
+            p_rows=p_rows, k_used=k_used):
+        row_iota, col_iota = _packed_coords(w_seg, p_rows)
 
         for u in range(GROUP):
             l = g * GROUP + u
@@ -557,13 +639,13 @@ def _orientation_kernel(
                 dma(g, slot, u, dma_rows, dma_cols).wait()
                 shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
                 shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
-                gi = _compact_window(
+                gi = _packed_window(
                     pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
-                    comp_rows, dma_rows, dma_cols,
+                    dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
-                gj = _compact_window(
+                gj = _packed_window(
                     pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
-                    comp_rows, dma_rows, dma_cols,
+                    dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
                 sig = sig_ref[l]
                 dm = row_iota + (u0_ref[l].astype(jnp.float32) - x_ref[l])
@@ -631,8 +713,8 @@ def orientation_hist_lanes_pallas(
     # rounded center).
     reach = 3.0 * config.orientation_lambda * sigma_oct + 0.5
     buckets = _radius_buckets(config.ori_patch_radius)
-    geoms = tuple(_window_geometry(r) + (r,) for r in buckets)
-    for rows_b, _, _, r_b in geoms:
+    geoms = _bucket_geoms(buckets)
+    for rows_b, _, _, r_b, *_ in geoms:
         assert rows_b - r_b <= fields.rpad, (r_b, fields.rpad)
 
     gbkt, radius_l = _group_buckets(reach, valid, buckets)
@@ -640,7 +722,8 @@ def orientation_hist_lanes_pallas(
         fields, scale, x_oct, y_oct, radius_l, frame, valid
     )
 
-    dma_rows, dma_cols, _, _ = geoms[-1]
+    dma_rows = max(g[0] for g in geoms)
+    dma_cols = max(g[1] for g in geoms)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(l // GROUP,),
