@@ -50,6 +50,12 @@ def main() -> None:
         # Isolate the refinement walk: iteration-1-only detection (the
         # slot path then never gathers; NOT parity-correct, A/B only).
         config = dataclasses.replace(config, max_interpolation_iterations=1)
+    if os.environ.get("BENCH_ITERS"):
+        # Finer walk-cost isolation: cap the interpolation iterations.
+        config = dataclasses.replace(
+            config,
+            max_interpolation_iterations=int(os.environ["BENCH_ITERS"]),
+        )
     h, w = 480, 640
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10

@@ -61,7 +61,7 @@ def _detect_kernel(
     rawc_ref,
     softc_ref,
     dropc_ref,
-    scratch,
+    scratch_db,
     sem,
     *,
     n_scales: int,
@@ -74,17 +74,40 @@ def _detect_kernel(
     slots: int,
 ):
     t = pl.program_id(1)
-    # The copy spans tile_h + 8 rows (not the tile_h + 2 the halo needs):
-    # tile_h is a multiple of 8, so both the source offset and the copy
-    # extent stay 8-sublane aligned — Mosaic rejects unaligned
-    # memref_slices when it places the (small-octave) source in VMEM.
-    dma = pltpu.make_async_copy(
-        dog_hbm.at[pl.program_id(0), :, pl.ds(t * tile_h, tile_h + 8), :],
-        scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    bb = pl.program_id(0)
+    n_tiles = pl.num_programs(1)
+    n_b = pl.num_programs(0)
+    # Double-buffered input DMA: tile (bb, t)'s slab was prefetched one
+    # grid step ahead, so the copy overlaps the previous step's compute
+    # (the serial start->wait stalled ~0.1 ms/frame at octave 0,
+    # measured). The copy spans tile_h + 8 rows (not the tile_h + 2 the
+    # halo needs): tile_h is a multiple of 8, so both the source offset
+    # and the copy extent stay 8-sublane aligned — Mosaic rejects
+    # unaligned memref_slices when it places the (small-octave) source
+    # in VMEM.
+    step = bb * n_tiles + t
+    par = jax.lax.rem(step, 2)
+
+    def slab_dma(b_i, t_i, sl):
+        return pltpu.make_async_copy(
+            dog_hbm.at[b_i, :, pl.ds(t_i * tile_h, tile_h + 8), :],
+            scratch_db.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        slab_dma(bb, t, par).start()
+
+    @pl.when(step + 1 < n_b * n_tiles)
+    def _():
+        last = t + 1 >= n_tiles
+        b_n = jnp.where(last, bb + 1, bb)
+        t_n = jnp.where(last, 0, t + 1)
+        slab_dma(b_n, t_n, 1 - par).start()
+
+    slab_dma(bb, t, par).wait()
+    scratch = scratch_db.at[par]
 
     # Validity of output rows/cols of this tile (border + padding zeroed:
     # center (s, r+1, c+1) needs r+1 <= H-2 and c+1 <= W-2).
@@ -406,8 +429,8 @@ def detect_candidates_pallas(
             scalar_shape,
         ),
         scratch_shapes=[
-            pltpu.VMEM((s_dim, tile_h + 8, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, s_dim, tile_h + 8, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
