@@ -286,3 +286,24 @@ def test_loop_closure_drift_repair():
         camera_centers(smap.cameras[:n_frames]), camera_centers(cams)
     )
     assert repaired_ate < 0.5 * bad_ate, (base_ate, bad_ate, repaired_ate)
+
+
+def test_bundle_adjust_jit_is_cached(synthetic_sequence):
+    """Repeated bundle_adjust / optimize_pose_graph calls must reuse ONE
+    compiled program per static budget (round 2 rebuilt a fresh
+    jax.jit(lambda) per call — every BA call retraced and recompiled)."""
+    from siftmetal_tpu.slam import sfm as _sfm
+
+    cams, lms, frames = synthetic_sequence
+    smap = SfmMap(K, SfmConfig(max_cameras=8))
+    smap.initialize(frames[0], frames[1])
+    smap.bundle_adjust()
+    ba_cache = _sfm._jit_bundle_adjust._cache_size()
+    smap.bundle_adjust()
+    smap.bundle_adjust()
+    assert _sfm._jit_bundle_adjust._cache_size() == ba_cache
+
+    smap.optimize_pose_graph()
+    pg_cache = _sfm._jit_optimize_pose_graph._cache_size()
+    smap.optimize_pose_graph()
+    assert _sfm._jit_optimize_pose_graph._cache_size() == pg_cache
