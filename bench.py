@@ -116,7 +116,10 @@ def main() -> None:
     t0 = time.perf_counter()
     total = int(np.asarray(bench_n(frames)))
     dt = time.perf_counter() - t0
-    assert total > 0
+    # != 0, not > 0: the guard's only job is proving the descriptor
+    # values were computed (DCE check); the i32 accumulator wraps
+    # negative at batch >= 16 x 10 iterations.
+    assert total != 0
 
     fps = batch * iters / dt
     print(

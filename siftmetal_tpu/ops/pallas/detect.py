@@ -56,8 +56,6 @@ def _detect_kernel(
     c_oj_ref,
     c_os_ref,
     c_val_ref,
-    fpk_ref,
-    edge_ref,
     rawc_ref,
     softc_ref,
     dropc_ref,
@@ -250,19 +248,17 @@ def _detect_kernel(
         fval_keep = c + 0.5 * (
             gi * ofst_i + gj * ofst_j + gs * ofst_s
         )
-        # The four Taylor planes land in ONE packed [S-2, 4, Ht, Wp]
-        # array so each mover-walk iteration downstream is a single
-        # 4k-index gather instead of four separate gather ops (TPU
-        # gathers carry large fixed per-op cost).
-        fpk_ref[0, s - 1, 0, :, :] = ofst_i
-        fpk_ref[0, s - 1, 1, :, :] = ofst_j
-        fpk_ref[0, s - 1, 2, :, :] = ofst_s
-        fpk_ref[0, s - 1, 3, :, :] = fval_keep
+        # The dense Taylor/edge planes are NOT stored: the iteration-1
+        # values every candidate needs are harvested at the compacted
+        # slots below, and the few candidates that MOVE (~150/frame)
+        # re-derive their Taylor step from 27-point DoG gathers in the
+        # XLA tail (sift/detect.py _dog_lookup27) — dropping the packed
+        # [S-2, 4, Ht, Wp] + edge plane stores cut 13 full-tile stores
+        # per scale and ~63 MB/frame of HBM write traffic at octave 0.
 
         # -- IPOL edge-response acceptance (dense_edge_ok) ---------------
         edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
         edge_ok = jnp.abs(edge_resp) <= edge_bound
-        edge_ref[0, s - 1, :, :] = edge_ok.astype(jnp.int8)
 
         # -- in-VMEM per-row candidate compaction -----------------------
         # Rank every soft extremum within its row (lane prefix sum; no
@@ -329,8 +325,8 @@ def detect_candidates_pallas(
 ) -> Tuple[jnp.ndarray, ...]:
     """[B, S, H, W] DoG -> fused detection with in-kernel compaction.
 
-    Returns ``(cand_col, slot_ok, cand_fields, cand_edge, fields,
-    edge_ok, n_raw, n_soft, n_row_dropped)`` where
+    Returns ``(cand_col, slot_ok, cand_fields, cand_edge, n_raw,
+    n_soft, n_row_dropped)`` where
 
       * ``cand_col`` [B, S-2, Ht, slots] i32 — column index c (plane
         coords) of the (slot+1)-th soft extremum of each (scale, row);
@@ -338,17 +334,18 @@ def detect_candidates_pallas(
       * ``cand_fields`` — tuple of four [B, S-2, Ht, slots] f32 arrays:
         the Taylor step (ofst_i, ofst_j, ofst_s, value) AT each
         compacted candidate — iteration 1 of the refinement walk reads
-        these instead of gathering from the dense planes;
+        these with no gather at all;
       * ``cand_edge`` [B, S-2, Ht, slots] bool — edge acceptance at each
         candidate (valid for walks that never move);
-      * ``fields`` — PACKED [B, S-2, 4, Ht, Wp] f32 Taylor planes
-        (q = ofst_i, ofst_j, ofst_s, value), plane (s, q, r, c)
-        describing DoG center (s+1, r+1, c+1) — only candidates that
-        MOVE gather here, one 4k-index gather per walk iteration;
-      * ``edge_ok`` [B, S-2, Ht, Wp] bool;
       * ``n_raw`` / ``n_soft`` [B] i32 — raw/soft extrema totals;
       * ``n_row_dropped`` [B] i32 — soft extrema lost to per-row slot
         overflow (counted, never silent).
+
+    No dense planes are emitted: candidates that MOVE during the
+    refinement walk re-derive their Taylor step / edge test from
+    27-point DoG gathers in the tail (movers are ~0.3%% of slot lanes;
+    the dense [S-2, 4, Ht, Wp] plane stores this replaces were 13
+    full-tile stores per scale and ~63 MB/frame of HBM writes).
     """
     b, s_dim, h, w = dog.shape
     n_scales = s_dim - 2
@@ -383,7 +380,7 @@ def detect_candidates_pallas(
 
     (
         cand, ok, c_oi, c_oj, c_os, c_val,
-        fpk, edge, rawc, softc, dropc,
+        rawc, softc, dropc,
     ) = pl.pallas_call(
         functools.partial(
             _detect_kernel,
@@ -405,12 +402,6 @@ def detect_candidates_pallas(
             plane(slots),
             plane(slots),
             plane(slots),
-            pl.BlockSpec(
-                (1, n_scales, 4, tile_h, wp),
-                lambda bb, t: (bb, 0, 0, t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            plane(wp),
             scalar_spec,
             scalar_spec,
             scalar_spec,
@@ -422,8 +413,6 @@ def detect_candidates_pallas(
             pshape(jnp.float32, slots),
             pshape(jnp.float32, slots),
             pshape(jnp.float32, slots),
-            jax.ShapeDtypeStruct((b, n_scales, 4, ht, wp), jnp.float32),
-            pshape(jnp.int8, wp),
             scalar_shape,
             scalar_shape,
             scalar_shape,
@@ -443,8 +432,6 @@ def detect_candidates_pallas(
         ok.astype(bool),
         (c_oi, c_oj, c_os, c_val),
         (cand >> 13).astype(bool),
-        fpk,
-        edge.astype(bool),
         jnp.sum(rawc, axis=(1, 2, 3)),
         jnp.sum(softc, axis=(1, 2, 3)),
         jnp.sum(dropc, axis=(1, 2, 3)),

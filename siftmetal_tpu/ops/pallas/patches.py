@@ -446,9 +446,10 @@ def _descriptor_kernel(
                         )
                     )
 
-                # 16x8 full-map reductions (Mosaic's matmul cannot
-                # contract two dims at once; keepdims sums + concats
-                # compile to clean VPU reduction trees).
+                # 16x8 full-map masked reductions. A per-row MXU
+                # dot_general rewrite (_descriptor_entries_mxu) measured
+                # SLOWER on v5e — see its docstring; keepdims sums +
+                # concats compile to clean VPU reduction trees.
                 wa_maps = []
                 wb_maps = []
                 for a in range(n_hist):
@@ -461,8 +462,8 @@ def _descriptor_kernel(
                     )
                 # The full descriptor packs into ONE [1, 128] row
                 # (n_hist^2 * n_ori = 128): 16x less store/output
-                # traffic than the earlier [16, 128] rows-with-8-used
-                # layout, and downstream reads it without reshaping.
+                # traffic than a rows-with-8-used layout, and downstream
+                # reads it without reshaping.
                 entries = []
                 for a in range(n_hist):
                     for b in range(n_hist):
@@ -664,6 +665,11 @@ def _orientation_kernel(
                 b = jnp.mod(jnp.round(thetab), float(n_bins))
 
                 # n_bins one-hot-masked full-map sums -> one [1, n] row.
+                # (A per-row one-hot dot_general variant measured NO
+                # faster on v5e — the [nb, 128] one-hot build plus the
+                # contraction's operand handling eat the reduce savings;
+                # the descriptor kernel's MXU rewrite pays off because
+                # its tent weights are arithmetic, not comparisons.)
                 entries = [
                     jnp.sum(jnp.where(b == float(k), w, 0.0), keepdims=True)
                     for k in range(n_bins)

@@ -351,25 +351,80 @@ def _plane_lookup(
     return lookup, foi.shape[0]
 
 
-def _packed_lookup(fields: jnp.ndarray):
-    """Taylor lookup over the kernel's PACKED [S-2, 4, Hp, Wp] planes:
-    ONE flat gather per call (TPU gathers carry a large fixed per-op
-    cost, so 4 quantities x K lanes ride a single [4K] index vector)."""
-    s_max, _, hp, wp = fields.shape
-    flat = fields.reshape(-1)
-    step = hp * wp
+# The Taylor step's 19-point stencil: center, the 6 faces and the 12
+# edge midpoints of the 3x3x3 neighborhood — the 8 corners are never
+# read by the gradient/Hessian formulas, so the mover walk does not
+# gather them (gather volume IS the walk's cost on TPU: the full
+# 27-point variant measured +0.4 ms/frame over the packed-plane design
+# it replaced; 19 points + the while_loop early exit win it back).
+_OFFS19 = tuple(
+    (ds, di, dj)
+    for ds in (-1, 0, 1)
+    for di in (-1, 0, 1)
+    for dj in (-1, 0, 1)
+    if (ds != 0) + (di != 0) + (dj != 0) <= 2
+)
+_IDX19 = {o: n for n, o in enumerate(_OFFS19)}
 
-    def lookup(s, i, j):
-        idx0 = ((s - 1) * 4 * hp + (i - 1)) * wp + (j - 1)
-        g = flat[
-            jnp.concatenate(
-                [idx0, idx0 + step, idx0 + 2 * step, idx0 + 3 * step]
-            )
-        ]
-        k = s.shape[0]
-        return g[:k], g[k:2 * k], g[2 * k:3 * k], g[3 * k:]
 
-    return lookup, s_max
+def _dog_gather(dog: jnp.ndarray, offs, s, i, j) -> jnp.ndarray:
+    """Gather a fixed stencil around K DoG centers: ONE flat gather of
+    [len(offs)*K] indices (TPU gathers carry a large fixed per-op cost).
+    ``dog`` is [S, H, W]; (s, i, j) must be interior (the walk clamps).
+    Returns [len(offs), K] f32, rows in ``offs`` order."""
+    _, h, w = dog.shape
+    flat = dog.reshape(-1)
+    base = (s * h + i) * w + j
+    idx = jnp.concatenate(
+        [base + ds * h * w + di * w + dj for ds, di, dj in offs]
+    )
+    return flat[idx].reshape(len(offs), -1)
+
+
+def _taylor_from_stencil(v: jnp.ndarray, edge_threshold: float):
+    """Taylor step + edge acceptance from a gathered [19, K] stencil.
+
+    Bit-for-bit the :func:`dense_taylor_fields` / :func:`dense_edge_ok`
+    formulas evaluated at K points — the mover walk's replacement for
+    the dense packed planes the fused kernel used to store (movers are
+    ~0.3%% of slot lanes; recomputing ~40 flops per mover-iteration is
+    far cheaper than writing ~63 MB/frame of planes nobody else reads).
+    Returns (ofst_i, ofst_j, ofst_s, value, edge_ok)."""
+    at = lambda ds, di, dj: v[_IDX19[(ds, di, dj)]]
+    c = at(0, 0, 0)
+    gi = 0.5 * (at(0, 1, 0) - at(0, -1, 0))
+    gj = 0.5 * (at(0, 0, 1) - at(0, 0, -1))
+    gs = 0.5 * (at(1, 0, 0) - at(-1, 0, 0))
+
+    hii = at(0, 1, 0) + at(0, -1, 0) - 2.0 * c
+    hjj = at(0, 0, 1) + at(0, 0, -1) - 2.0 * c
+    hss = at(1, 0, 0) + at(-1, 0, 0) - 2.0 * c
+    hij = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))
+    his = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))
+    hjs = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))
+
+    det = (
+        hii * (hjj * hss - hjs * hjs)
+        - hij * (hij * hss - hjs * his)
+        + his * (hij * hjs - hjj * his)
+    )
+    inv_det = 1.0 / det
+    aa = (hjj * hss - hjs * hjs) * inv_det
+    ab = (his * hjs - hij * hss) * inv_det
+    ac = (hij * hjs - his * hjj) * inv_det
+    bb = (hii * hss - his * his) * inv_det
+    bc = (his * hij - hii * hjs) * inv_det
+    cc = (hii * hjj - hij * hij) * inv_det
+
+    ofst_i = -(aa * gi + ab * gj + ac * gs)
+    ofst_j = -(ab * gi + bb * gj + bc * gs)
+    ofst_s = -(ac * gi + bc * gj + cc * gs)
+    value = c + 0.5 * (gi * ofst_i + gj * ofst_j + gs * ofst_s)
+
+    edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
+    r = edge_threshold
+    edge_ok = jnp.abs(edge_resp) <= (r + 1.0) ** 2 / r
+    return ofst_i, ofst_j, ofst_s, value, edge_ok
 
 
 def _refine_batched(
@@ -383,21 +438,38 @@ def _refine_batched(
     *,
     max_iterations: int,
     max_offset: float,
+    active0: jnp.ndarray = None,
 ):
     """IPOL refinement walk for all candidates at once.
 
-    ``lookup(s, i, j) -> (ofst_i, ofst_j, ofst_s, value)`` reads the
-    dense Taylor planes (see :func:`_plane_lookup` /
-    :func:`_packed_lookup`); moves are clamped to the interior exactly
-    like the per-candidate version."""
+    ``lookup(s, i, j) -> (ofst_i, ofst_j, ofst_s, value)`` evaluates the
+    Taylor step at integer positions (dense-plane gather on the XLA
+    path, 19-point DoG stencil on the Pallas-tail path); moves are
+    clamped to the interior exactly like the per-candidate version.
+
+    ``active0`` masks lanes that participate at all (padding lanes
+    clamped to position (1,1,1) must not keep the loop alive). The loop
+    is a while_loop with an all-done early exit: movers typically
+    converge in 1-2 extra iterations, and each saved iteration is a
+    whole stencil gather.
+
+    ``lookup`` may return a 5th value (the edge acceptance at the
+    looked-up position); it is carried exactly like the Taylor outputs
+    and returned last, so converged lanes leave with the edge test of
+    their FINAL position for free (lanes that exhaust the iteration
+    budget never converge and are rejected downstream, so their stale
+    edge value is never read)."""
     mo = jnp.float32(max_offset)
     k = s0.shape[0]
     zeros = jnp.zeros((k,), dtype=jnp.float32)
     falses = jnp.zeros((k,), dtype=bool)
+    done0 = falses if active0 is None else ~active0
 
-    def body(_, carry):
-        s, i, j, conv, done, oi, oj, os_, val = carry
-        noi, noj, nos, nval = lookup(s, i, j)
+    def body(carry):
+        it, s, i, j, conv, done, oi, oj, os_, val, edge = carry
+        out = lookup(s, i, j)
+        noi, noj, nos, nval = out[:4]
+        nedge = out[4] if len(out) > 4 else falses
         nconv = (
             (jnp.abs(noi) < mo) & (jnp.abs(noj) < mo) & (jnp.abs(nos) < mo)
         )
@@ -416,17 +488,25 @@ def _refine_batched(
         oj = jnp.where(active, noj, oj)
         os_ = jnp.where(active, nos, os_)
         val = jnp.where(active, nval, val)
+        edge = jnp.where(active, nedge, edge)
         move = active & ~nconv
         i = jnp.where(move, i + di, i)
         j = jnp.where(move, j + dj, j)
         s = jnp.where(move, s + ds, s)
-        return s, i, j, conv, done | nconv, oi, oj, os_, val
+        return it + 1, s, i, j, conv, done | nconv, oi, oj, os_, val, edge
 
-    init = (s0, i0, j0, falses, falses, zeros, zeros, zeros, zeros)
-    s, i, j, conv, _, oi, oj, os_, val = lax.fori_loop(
-        0, max_iterations, body, init
+    def cond(carry):
+        it, _, _, _, _, done, _, _, _, _, _ = carry
+        return (it < max_iterations) & ~jnp.all(done)
+
+    init = (
+        jnp.int32(0), s0, i0, j0, falses, done0,
+        zeros, zeros, zeros, zeros, falses,
     )
-    return s, i, j, conv, oi, oj, os_, val
+    _, s, i, j, conv, _, oi, oj, os_, val, edge = lax.while_loop(
+        cond, body, init
+    )
+    return s, i, j, conv, oi, oj, os_, val, edge
 
 
 def _octave_tail(
@@ -462,7 +542,7 @@ def _octave_tail(
     cand_valid = jnp.arange(k) < n_cand
 
     lookup, s_max = _plane_lookup(fields)
-    s_f, i_f, j_f, conv, oi, oj, os_, val = _refine_batched(
+    s_f, i_f, j_f, conv, oi, oj, os_, val, _ = _refine_batched(
         lookup,
         s_max,
         s_idx,
@@ -472,6 +552,7 @@ def _octave_tail(
         w,
         max_iterations=config.max_interpolation_iterations,
         max_offset=config.max_interpolation_offset,
+        active0=cand_valid,
     )
 
     edge_ok = edge_field[s_f - 1, i_f - 1, j_f - 1]
@@ -559,8 +640,7 @@ def _octave_tail_slots(
     slot_ok: jnp.ndarray,
     cand_fields: Tuple[jnp.ndarray, ...],
     cand_edge: jnp.ndarray,
-    fields: jnp.ndarray,
-    edge_field: jnp.ndarray,
+    dog: jnp.ndarray,
     octave: int,
     config: SiftConfig,
     h: int,
@@ -575,10 +655,10 @@ def _octave_tail_slots(
     The fused kernel already delivers the iteration-1 Taylor step and
     edge flag AT each candidate, so the common case (|offsets| < 0.6 at
     the discrete extremum — 72-84%% of candidates, measured) finishes
-    with ZERO dense-plane gathers. Only candidates that MOVE are
-    compacted into ``k_move`` lanes (blocked rank arithmetic, no
-    m-sized scatter) and walk the remaining iterations with ONE packed
-    gather each (``fields`` is the packed [S-2, 4, Hp, Wp] stack);
+    with ZERO gathers. Only candidates that MOVE are compacted into
+    ``k_move`` lanes (blocked rank arithmetic, no m-sized scatter) and
+    walk the remaining iterations with ONE [19*k] DoG stencil gather
+    each, re-deriving the Taylor step (:func:`_taylor_from_stencil`);
     movers past the budget are rejected-and-counted (``overflow``).
 
     The returned keypoint slots are the [m] grid lanes (movers masked
@@ -633,19 +713,25 @@ def _octave_tail_slots(
     order, n_mov, mov_drop = masked_nonzero(move, k_move)
     mv_valid = jnp.arange(k_move) < n_mov
 
-    lookup, _ = _packed_lookup(fields)
-    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m = _refine_batched(
-        lookup,
-        s_max,
-        jnp.where(mv_valid, (s_idx + ds)[order], 1),
-        jnp.where(mv_valid, (i_idx + di)[order], 1),
-        jnp.where(mv_valid, (j_idx + dj)[order], 1),
-        h,
-        w,
-        max_iterations=config.max_interpolation_iterations - 1,
-        max_offset=config.max_interpolation_offset,
+    def lookup(s, i, j):
+        return _taylor_from_stencil(
+            _dog_gather(dog, _OFFS19, s, i, j), config.edge_threshold
+        )
+
+    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m, edge_m = (
+        _refine_batched(
+            lookup,
+            s_max,
+            jnp.where(mv_valid, (s_idx + ds)[order], 1),
+            jnp.where(mv_valid, (i_idx + di)[order], 1),
+            jnp.where(mv_valid, (j_idx + dj)[order], 1),
+            h,
+            w,
+            max_iterations=config.max_interpolation_iterations - 1,
+            max_offset=config.max_interpolation_offset,
+            active0=mv_valid,
+        )
     )
-    edge_m = edge_field[s_m - 1, i_m - 1, j_m - 1]
 
     kp_m, ctr_m = _acceptance(
         mv_valid, s_m, i_m, j_m, conv_m & mv_valid, oi_m, oj_m, os_m,
@@ -725,17 +811,17 @@ def detect_octave_batch(
     from ..ops.pallas.detect import detect_candidates_pallas
 
     b, s_dim, h, w = dog.shape
-    (cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+    (cand_col, slot_ok, cand_fields, cand_edge,
      n_extrema, n_soft, row_drop) = detect_candidates_pallas(
         dog, 0.8 * config.dog_threshold, config.edge_threshold,
         tile_h=_detect_tile_h(h),
     )
     k_move = mover_budget(config, (h, w))
     return jax.vmap(
-        lambda cc, ok, cf, ce, f, e, ne, ns, rd: _octave_tail_slots(
-            cc, ok, cf, ce, f, e, octave, config, h, w, ne, ns, rd, k_move
+        lambda cc, ok, cf, ce, d, ne, ns, rd: _octave_tail_slots(
+            cc, ok, cf, ce, d, octave, config, h, w, ne, ns, rd, k_move
         )
-    )(cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+    )(cand_col, slot_ok, cand_fields, cand_edge, dog,
       n_extrema, n_soft, row_drop)
 
 
@@ -821,8 +907,9 @@ def detect_all_octaves_batch(
     (iteration-1 acceptance, mover compaction, the gather walk, the
     final acceptance) runs ONCE over every octave's slot grid
     concatenated — per-octave constants ride per-lane segment tables
-    and the mover walk gathers from one flat concatenation of all
-    octaves' packed Taylor planes. Measured motivation: the tail is
+    and the mover walk gathers 27-point DoG neighborhoods from one flat
+    concatenation of all octaves' DoG stacks, re-deriving the Taylor
+    step on the fly (no dense plane storage). Measured motivation: the tail is
     dominated by fixed per-op dispatch cost (~13 us/op batched), and
     the per-octave structure pays it 6x.
 
@@ -858,15 +945,16 @@ def detect_all_octaves_batch(
     k_move = mover_budget(config, shapes[0])
 
     kp_list, counters = jax.vmap(
-        lambda outs_f: _tail_all_octaves(
-            outs_f, tuple(shapes), config, k_move
+        lambda outs_f, dogs_f: _tail_all_octaves(
+            outs_f, dogs_f, tuple(shapes), config, k_move
         )
-    )(tuple(outs))
+    )(tuple(outs), tuple(dogs))
     return list(kp_list), counters
 
 
 def _tail_all_octaves(
     outs,
+    dogs,
     shapes: Tuple[Tuple[int, int], ...],
     config: SiftConfig,
     k_move: int,
@@ -881,16 +969,14 @@ def _tail_all_octaves(
     s_c, i_c, j_c, ok_c = [], [], [], []
     oi_c, oj_c, os_c, val_c, edge_c = [], [], [], [], []
     delta_c, sgo_c, h_c, w_c, oct_c = [], [], [], [], []
-    plane_parts, edge_parts = [], []
-    pbase, ebase, htp_t, wpp_t, dlt_t, h_t, w_t = [], [], [], [], [], [], []
+    dog_parts, dbase = [], []
     sig_rows = []
     n_ex = jnp.int32(0)
     n_soft = jnp.int32(0)
     drops = jnp.int32(0)
-    poff = 0
-    eoff = 0
+    doff = 0
     n_sig = None
-    for o, (cand_col, slot_ok, cand_fields, cand_edge, fpk, edge_f,
+    for o, (cand_col, slot_ok, cand_fields, cand_edge,
             ne, ns, rd) in enumerate(outs):
         n_sc, ht, slots = cand_col.shape
         m_o = n_sc * ht * slots
@@ -917,17 +1003,9 @@ def _tail_all_octaves(
         h_c.append(jnp.full((m_o,), h, jnp.int32))
         w_c.append(jnp.full((m_o,), w, jnp.int32))
         oct_c.append(jnp.full((m_o,), o, jnp.int32))
-        plane_parts.append(fpk.reshape(-1))
-        edge_parts.append(edge_f.reshape(-1))
-        pbase.append(poff)
-        ebase.append(eoff)
-        poff += fpk.size
-        eoff += edge_f.size
-        htp_t.append(fpk.shape[-2])
-        wpp_t.append(fpk.shape[-1])
-        dlt_t.append(delta)
-        h_t.append(h)
-        w_t.append(w)
+        dog_parts.append(dogs[o].reshape(-1))
+        dbase.append(doff)
+        doff += dogs[o].size
         n_ex = n_ex + ne
         n_soft = n_soft + ns
         drops = drops + rd
@@ -995,44 +1073,44 @@ def _tail_all_octaves(
     mv_valid = jnp.arange(k_move) < n_mov
 
     oct_mv = oct_l[order]
-    tab = lambda vals, dt: jnp.asarray(vals, dt)[oct_mv]
-    pbase_mv = tab(pbase, jnp.int32)
-    ebase_mv = tab(ebase, jnp.int32)
-    htp_mv = tab(htp_t, jnp.int32)
-    wpp_mv = tab(wpp_t, jnp.int32)
+    dbase_mv = jnp.asarray(dbase, jnp.int32)[oct_mv]
     h_mv = h_l[order]
     w_mv = w_l[order]
 
-    planes_all = cat(plane_parts)
-    edge_all = cat(edge_parts)
-    step = htp_mv * wpp_mv
+    # All octaves' DoG stacks flattened into one array: movers walk with
+    # ONE [19*k] stencil gather per iteration, re-deriving the Taylor
+    # step from the raw neighborhood (per-lane strides — octave shapes
+    # differ).
+    dog_all = cat(dog_parts)
+    hw_mv = h_mv * w_mv
+
+    def gather(offs, s, i, j):
+        base = dbase_mv + (s * h_mv + i) * w_mv + j
+        idx = jnp.concatenate(
+            [base + dsd * hw_mv + did * w_mv + djd
+             for dsd, did, djd in offs]
+        )
+        return dog_all[idx].reshape(len(offs), -1)
 
     def lookup(s, i, j):
-        idx0 = pbase_mv + ((s - 1) * 4 * htp_mv + (i - 1)) * wpp_mv + (
-            j - 1
+        return _taylor_from_stencil(
+            gather(_OFFS19, s, i, j), config.edge_threshold
         )
-        g = planes_all[
-            jnp.concatenate(
-                [idx0, idx0 + step, idx0 + 2 * step, idx0 + 3 * step]
-            )
-        ]
-        k = s.shape[0]
-        return g[:k], g[k:2 * k], g[2 * k:3 * k], g[3 * k:]
 
-    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m = _refine_batched(
-        lookup,
-        n_sc_int,
-        jnp.where(mv_valid, (s_idx + ds)[order], 1),
-        jnp.where(mv_valid, (i_idx + di)[order], 1),
-        jnp.where(mv_valid, (j_idx + dj)[order], 1),
-        h_mv,
-        w_mv,
-        max_iterations=config.max_interpolation_iterations - 1,
-        max_offset=config.max_interpolation_offset,
+    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m, edge_m = (
+        _refine_batched(
+            lookup,
+            n_sc_int,
+            jnp.where(mv_valid, (s_idx + ds)[order], 1),
+            jnp.where(mv_valid, (i_idx + di)[order], 1),
+            jnp.where(mv_valid, (j_idx + dj)[order], 1),
+            h_mv,
+            w_mv,
+            max_iterations=config.max_interpolation_iterations - 1,
+            max_offset=config.max_interpolation_offset,
+            active0=mv_valid,
+        )
     )
-    edge_m = edge_all[
-        ebase_mv + ((s_m - 1) * htp_mv + (i_m - 1)) * wpp_mv + (j_m - 1)
-    ]
 
     kp_m = accept(
         mv_valid, s_m, i_m, j_m, conv_m & mv_valid, oi_m, oj_m, os_m,

@@ -221,7 +221,7 @@ def test_detect_candidates_pallas_matches_xla():
     dog_j = jnp.asarray(dog)
 
     thr = 0.8 * 0.0133
-    (cand_col, slot_ok, cand_fields, cand_edge, fields, edge, n_raw,
+    (cand_col, slot_ok, cand_fields, cand_edge, n_raw,
      n_soft, row_drop) = (
         detect_candidates_pallas(dog_j, thr, 10.0, tile_h=16, interpret=True)
     )
@@ -260,24 +260,31 @@ def test_detect_candidates_pallas_matches_xla():
                 want.update((ss, r, int(ccol)) for ccol in cols)
         assert got == want
 
-        e_np = np.asarray(edge[bb])[:, : h - 2, : w - 2]
-        assert (e_np == e_ref).all()
+        # The mover walk's 27-point re-derivation must match the dense
+        # XLA stencils at arbitrary interior positions (the walk can
+        # land anywhere); rtol accommodates near-singular Hessians.
+        from siftmetal_tpu.sift.detect import (
+            _OFFS19,
+            _dog_gather,
+            _taylor_from_stencil,
+        )
 
-        # Taylor planes at every candidate position (what the walk
-        # starts from); rtol accommodates near-singular Hessians.
-        # ``fields`` is the packed [S-2, 4, Ht, Wp] stack.
-        f_np = np.moveaxis(
-            np.asarray(fields[bb])[:, :, : h - 2, : w - 2], 1, -1
-        )
         finite = np.isfinite(f_ref).all(-1)
-        sel = finite & soft_ref
-        np.testing.assert_allclose(
-            f_np[sel], f_ref[sel], rtol=5e-3, atol=1e-4
+        ss_a, ii_a, jj_a = np.nonzero(finite)
+        sel27 = slice(0, len(ss_a), max(1, len(ss_a) // 500))
+        s27 = jnp.asarray(ss_a[sel27] + 1, jnp.int32)
+        i27 = jnp.asarray(ii_a[sel27] + 1, jnp.int32)
+        j27 = jnp.asarray(jj_a[sel27] + 1, jnp.int32)
+        oi7, oj7, os7, v7, e7 = _taylor_from_stencil(
+            _dog_gather(dog_j[bb], _OFFS19, s27, i27, j27), 10.0
         )
-        # ... and on the full finite interior (the walk can land anywhere).
-        np.testing.assert_allclose(
-            f_np[finite], f_ref[finite], rtol=5e-3, atol=1e-4
+        got27 = np.stack(
+            [np.asarray(a) for a in (oi7, oj7, os7, v7)], axis=-1
         )
+        want27 = f_ref[ss_a[sel27], ii_a[sel27], jj_a[sel27]]
+        np.testing.assert_allclose(got27, want27, rtol=5e-3, atol=1e-4)
+        e_want = e_ref[ss_a[sel27], ii_a[sel27], jj_a[sel27]]
+        np.testing.assert_array_equal(np.asarray(e7), e_want)
 
         # The per-slot harvested values must equal the dense planes at
         # each candidate position (iteration 1 reads these directly).
@@ -379,17 +386,17 @@ def test_detect_octave_slots_tail_matches_xla():
     # production default (6) accommodates; strict counter equality with
     # the XLA path needs a lossless slot budget (drops are counted, so
     # a tighter budget is *correct* but not *identical*).
-    (cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+    (cand_col, slot_ok, cand_fields, cand_edge,
      n_extrema, n_soft, row_drop) = pd.detect_candidates_pallas(
         dog_j, 0.8 * cfg.dog_threshold, cfg.edge_threshold,
         tile_h=16, slots=8, interpret=True,
     )
     k_move = 256
     kp_p, ctr_p = jax.vmap(
-        lambda cc, ok, cf, ce, f, e, ne, ns, rd: D._octave_tail_slots(
-            cc, ok, cf, ce, f, e, octave, cfg, h, w, ne, ns, rd, k_move
+        lambda cc, ok, cf, ce, d, ne, ns, rd: D._octave_tail_slots(
+            cc, ok, cf, ce, d, octave, cfg, h, w, ne, ns, rd, k_move
         )
-    )(cand_col, slot_ok, cand_fields, cand_edge, fields, edge_field,
+    )(cand_col, slot_ok, cand_fields, cand_edge, dog_j,
       n_extrema, n_soft, row_drop)
 
     for bb in range(b):
