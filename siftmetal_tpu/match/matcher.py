@@ -125,12 +125,14 @@ def _accept(
     absolute_threshold: float,
     ratio_threshold: float,
 ) -> Matches:
-    ok = (
-        query_valid
-        & (d1 < absolute_threshold)
-        & (d1 < ratio_threshold * d2)
-        & jnp.isfinite(d2)
-    )
+    ok = query_valid & (d1 < absolute_threshold)
+    if ratio_threshold < 1.0:
+        # ratio_threshold >= 1.0 DISABLES the Lowe ratio test: queries
+        # against a map that may contain near-duplicate targets (e.g.
+        # SfM track merging, where the question is "is this the same 3D
+        # point", not "is this match unambiguous") must not be rejected
+        # because the two best targets are the same physical point.
+        ok = ok & (d1 < ratio_threshold * d2) & jnp.isfinite(d2)
     return Matches(
         target_idx=jnp.where(ok, idx, -1).astype(jnp.int32),
         distance=d1,

@@ -62,11 +62,38 @@ def _jit_optimize_pose_graph(g, n_iterations):
     return optimize_pose_graph(g, n_iterations=n_iterations)
 
 
+def _camera_centers(cams: np.ndarray) -> np.ndarray:
+    """Camera centers -R^T t for [N, 6] (rvec, t) poses, vectorized in
+    numpy (Rodrigues rotation of t by -theta about the unit axis)."""
+    rv = cams[:, :3].astype(np.float64)
+    t = cams[:, 3:].astype(np.float64)
+    th = np.linalg.norm(rv, axis=1, keepdims=True)
+    w = np.where(th > 1e-12, rv / np.maximum(th, 1e-12), 0.0)
+    s, co = np.sin(th), np.cos(th)
+    rt = co * t - s * np.cross(w, t) + (1.0 - co) * (
+        (w * t).sum(1, keepdims=True) * w
+    )
+    return -rt
+
+
+def _bucket(n: int, cap: int, floor: int = 8) -> int:
+    """Next power of two >= max(n, floor), capped at ``cap``.
+
+    Jitted map steps (BA, pose graph) slice/pad their arrays to this
+    FILL bucket rather than the full static budget: a 512-camera-budget
+    map with 12 keyframes solves a [96,96] system, not [3072,3072], and
+    a growing map recompiles O(log C) times, not per keyframe."""
+    b = floor
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
 @dataclasses.dataclass(frozen=True)
 class SfmConfig:
-    max_cameras: int = 128
-    max_landmarks: int = 8192
-    max_observations: int = 65536
+    max_cameras: int = 512
+    max_landmarks: int = 65536
+    max_observations: int = 262144
     new_landmarks_per_frame: int = 1024
     match_absolute_threshold: float = 1.176
     match_ratio_threshold: float = 0.7
@@ -87,6 +114,15 @@ class SfmConfig:
     loop_min_gap: int = 10
     loop_min_matches: int = 40
     loop_min_inliers: int = 20
+    # Candidate gating: only the loop_max_candidates eligible keyframes
+    # whose camera centers lie NEAREST the current estimate are matched
+    # (0 = all pairs). Keeps per-keyframe loop detection O(k) matcher
+    # calls + one O(N) vectorized distance pass instead of O(N) matcher
+    # calls — all-pairs does not survive KITTI-length sequences. A true
+    # loop revisit is by definition nearby in pose space; drift large
+    # enough to defeat the gate is bounded by the odometry chain, which
+    # pose-graph repair keeps tight as closures accumulate.
+    loop_max_candidates: int = 8
     # PnP conditioning gate: inlier pixels must have at least this std
     # in both image axes (narrow slivers make PnP unconstrained).
     loop_min_uv_spread: float = 40.0
@@ -241,10 +277,15 @@ class SfmMap:
         assert cam_id < c.max_cameras, "camera overflow"
 
         # 2D-3D matches: frame descriptors vs landmark descriptors.
-        lm_valid = np.zeros(c.max_landmarks, dtype=bool)
+        # All jitted landmark-shaped work in this method runs on the
+        # FILL bucket (next pow2 >= n_landmarks), not the full static
+        # budget — a 65k-landmark budget must not tax a 2k-landmark map.
+        nl = _bucket(self.n_landmarks, c.max_landmarks)
+        lm_valid = np.zeros(nl, dtype=bool)
         lm_valid[: self.n_landmarks] = True
         m = match_bruteforce(
-            desc, jnp.asarray(self.lm_desc), valid, jnp.asarray(lm_valid),
+            desc, jnp.asarray(self.lm_desc[:nl]), valid,
+            jnp.asarray(lm_valid),
             absolute_threshold=c.match_absolute_threshold,
             ratio_threshold=c.match_ratio_threshold,
         )
@@ -282,20 +323,20 @@ class SfmMap:
             cam_new_j = jnp.asarray(res.model)
             proj = np.asarray(
                 jax.vmap(lambda p: project(cam_new_j, self.k, p))(
-                    jnp.asarray(self.landmarks)
+                    jnp.asarray(self.landmarks[:nl])
                 )
             )
-            zs = self._depths(np.asarray(res.model), self.landmarks)
-            observed = np.zeros(c.max_landmarks, bool)
+            zs = self._depths(np.asarray(res.model), self.landmarks[:nl])
+            observed = np.zeros(nl, bool)
             observed[lm_ids[sel]] = True
             lm_ok = (
-                (np.arange(c.max_landmarks) < self.n_landmarks)
+                (np.arange(nl) < self.n_landmarks)
                 & (zs > c.triangulation_min_depth)
                 & ~observed
             )
             free_kp = np.asarray(valid) & ~inl
             gm = match_guided(
-                desc, jnp.asarray(self.lm_desc),
+                desc, jnp.asarray(self.lm_desc[:nl]),
                 jnp.asarray(free_kp), jnp.asarray(lm_ok),
                 jnp.asarray(uv.astype(np.float32)),
                 jnp.asarray(proj.astype(np.float32)),
@@ -378,15 +419,25 @@ class SfmMap:
         # spawning a duplicate.
         n_merged = 0
         if c.track_merge_frac > 0 and len(seln) > 0 and self.n_landmarks > 0:
-            lm_valid = np.zeros(c.max_landmarks, dtype=bool)
+            lm_valid = np.zeros(nl, dtype=bool)
             lm_valid[: self.n_landmarks] = True
+            # ratio_threshold=1.0 disables the Lowe ratio test HERE (and
+            # only here): the merge question is "is this triangulation
+            # the same 3D point as an existing landmark", and once any
+            # duplicate exists the two best map matches ARE the same
+            # physical point — a ratio test then rejects every future
+            # merge, duplicates compound (~236/frame measured on a
+            # 208-keyframe orbit), and PnP's own ratio-tested matches
+            # collapse until registration fails. The absolute descriptor
+            # threshold plus the 3D-proximity gate below carry the
+            # decision.
             mm = match_bruteforce(
                 jnp.asarray(np.asarray(desc)[seln]),
-                jnp.asarray(self.lm_desc),
+                jnp.asarray(self.lm_desc[:nl]),
                 jnp.ones(len(seln), bool),
                 jnp.asarray(lm_valid),
                 absolute_threshold=c.match_absolute_threshold,
-                ratio_threshold=c.match_ratio_threshold,
+                ratio_threshold=1.0,
             )
             mmv = np.asarray(mm.valid)
             tgt_lm = np.asarray(mm.target_idx)
@@ -471,9 +522,21 @@ class SfmMap:
         cands = []  # (j, model[6])
         union_ok = np.zeros(len(uv), dtype=bool)
         union_lm = np.full(len(uv), -1, np.int64)
-        for j in range(0, i - c.loop_min_gap + 1):
-            if j not in self._frame_lm:
-                continue
+        eligible = [
+            j for j in range(0, i - c.loop_min_gap + 1)
+            if j in self._frame_lm
+        ]
+        if c.loop_max_candidates and len(eligible) > c.loop_max_candidates:
+            # Pose-proximity shortlist (config.loop_max_candidates): one
+            # vectorized camera-center distance pass over all eligible
+            # keyframes, then descriptor matching only on the nearest k.
+            centers = _camera_centers(
+                self.cameras[np.asarray(eligible + [i])]
+            )
+            dists = np.linalg.norm(centers[:-1] - centers[-1], axis=1)
+            keep = np.argsort(dists)[: c.loop_max_candidates]
+            eligible = [eligible[t] for t in sorted(keep)]
+        for j in eligible:
             _, pdesc, pvalid = self.frames[j]
             m = match_bruteforce(
                 desc, pdesc, valid, pvalid,
@@ -547,24 +610,32 @@ class SfmMap:
         participate — constraints from fixed cameras on those shared
         landmarks are kept, landmarks seen only by fixed cameras stay
         exactly put. This bounds per-call cost for long sequences (the
-        global dense [6C,6C] solve is O(C^3))."""
+        global dense [6C,6C] solve is O(C^3)).
+
+        The jitted problem is built on FILL buckets (next pow2 >= each
+        fill count, capped at its budget): a 512-camera-budget map with
+        12 keyframes solves a [96,96] camera system, not [3072,3072],
+        and a growing map recompiles O(log) times, not per keyframe."""
         c = self.config
-        valid = np.zeros(c.max_observations, dtype=bool)
+        nc = _bucket(self.n_cameras, c.max_cameras)
+        nlm = _bucket(self.n_landmarks, c.max_landmarks)
+        no = _bucket(self.n_obs, c.max_observations)
+        valid = np.zeros(no, dtype=bool)
         valid[: self.n_obs] = True
         if window is not None:
             first_free = max(fixed_cameras, self.n_cameras - window)
             fixed_cameras = first_free
             in_window = self.obs_cam[: self.n_obs] >= first_free
-            lm_in_window = np.zeros(c.max_landmarks, dtype=bool)
+            lm_in_window = np.zeros(nlm, dtype=bool)
             lm_in_window[self.obs_lm[: self.n_obs][in_window]] = True
             valid[: self.n_obs] &= lm_in_window[self.obs_lm[: self.n_obs]]
         problem = BAProblem(
-            cameras=jnp.asarray(self.cameras),
-            landmarks=jnp.asarray(self.landmarks),
+            cameras=jnp.asarray(self.cameras[:nc]),
+            landmarks=jnp.asarray(self.landmarks[:nlm]),
             k=self.k,
-            cam_idx=jnp.asarray(self.obs_cam),
-            lm_idx=jnp.asarray(self.obs_lm),
-            uv=jnp.asarray(self.obs_uv),
+            cam_idx=jnp.asarray(self.obs_cam[:no]),
+            lm_idx=jnp.asarray(self.obs_lm[:no]),
+            uv=jnp.asarray(self.obs_uv[:no]),
             valid=jnp.asarray(valid),
             fixed_cameras=fixed_cameras,
         )
@@ -573,8 +644,8 @@ class SfmMap:
         )
         # np.array (copy): np.asarray of a jax array is READ-ONLY and the
         # map mutates these buffers in place.
-        self.cameras = np.array(out.cameras)
-        self.landmarks = np.array(out.landmarks)
+        self.cameras[:nc] = np.array(out.cameras)
+        self.landmarks[:nlm] = np.array(out.landmarks)
         # BA is the best relative-pose estimator available: refresh the
         # stored odometry measurements over the adjusted range so the
         # pose graph anchors to the REFINED chain, not the raw pre-BA
@@ -634,30 +705,55 @@ class SfmMap:
             ej.append(j)
             rels.append(rel)
 
+        # Pad poses and edges to fill buckets: repeated pose-graph calls
+        # on a growing map hit the jit cache O(log n) times instead of
+        # recompiling per keyframe. Padding edges carry weight 0 (and a
+        # zero relative pose between pose 0 and itself — zero residual
+        # either way); padded poses have no edges and are pinned by the
+        # solver's damping.
+        c = self.config
+        nc = _bucket(n, c.max_cameras)
+        m = len(ei)
+        me = _bucket(m, max(2 * c.max_cameras, m))
+        poses = np.zeros((nc, 6), np.float32)
+        poses[:n] = self.cameras[:n]
+        edge_i = np.zeros(me, np.int32)
+        edge_j = np.zeros(me, np.int32)
+        rel_ij = np.zeros((me, 6), np.float32)
+        weight = np.zeros(me, np.float32)
+        edge_i[:m] = ei
+        edge_j[:m] = ej
+        rel_ij[:m] = np.stack(rels).astype(np.float32)
+        weight[:m] = 1.0
+
         g = PoseGraph(
-            poses=cams,
-            edge_i=jnp.asarray(np.asarray(ei, np.int32)),
-            edge_j=jnp.asarray(np.asarray(ej, np.int32)),
-            rel_ij=jnp.asarray(np.stack(rels).astype(np.float32)),
-            weight=jnp.ones(len(ei)),
+            poses=jnp.asarray(poses),
+            edge_i=jnp.asarray(edge_i),
+            edge_j=jnp.asarray(edge_j),
+            rel_ij=jnp.asarray(rel_ij),
+            weight=jnp.asarray(weight),
             fixed=1,
         )
         out, cost = _jit_optimize_pose_graph(g, n_iterations)
-        self.cameras[:n] = np.asarray(out.poses)
+        self.cameras[:n] = np.asarray(out.poses)[:n]
         return float(cost)
 
     def reprojection_rms(self) -> float:
         from .ba import BAProblem as _P, residuals
 
-        valid = np.zeros(self.config.max_observations, dtype=bool)
+        c = self.config
+        nc = _bucket(self.n_cameras, c.max_cameras)
+        nlm = _bucket(self.n_landmarks, c.max_landmarks)
+        no = _bucket(self.n_obs, c.max_observations)
+        valid = np.zeros(no, dtype=bool)
         valid[: self.n_obs] = True
         p = _P(
-            cameras=jnp.asarray(self.cameras),
-            landmarks=jnp.asarray(self.landmarks),
+            cameras=jnp.asarray(self.cameras[:nc]),
+            landmarks=jnp.asarray(self.landmarks[:nlm]),
             k=self.k,
-            cam_idx=jnp.asarray(self.obs_cam),
-            lm_idx=jnp.asarray(self.obs_lm),
-            uv=jnp.asarray(self.obs_uv),
+            cam_idx=jnp.asarray(self.obs_cam[:no]),
+            lm_idx=jnp.asarray(self.obs_lm[:no]),
+            uv=jnp.asarray(self.obs_uv[:no]),
             valid=jnp.asarray(valid),
         )
         r = np.asarray(residuals(p))

@@ -307,3 +307,121 @@ def test_bundle_adjust_jit_is_cached(synthetic_sequence):
     pg_cache = _sfm._jit_optimize_pose_graph._cache_size()
     smap.optimize_pose_graph()
     assert _sfm._jit_optimize_pose_graph._cache_size() == pg_cache
+
+
+def test_bucketing_and_gating_unit():
+    """Fill-bucket arithmetic + pose-proximity loop-candidate gating."""
+    from siftmetal_tpu.slam.sfm import _bucket, _camera_centers
+    from siftmetal_tpu.slam.camera import rodrigues
+
+    assert _bucket(0, 512) == 8
+    assert _bucket(8, 512) == 8
+    assert _bucket(9, 512) == 16
+    assert _bucket(300, 512) == 512
+    assert _bucket(3000, 512) == 512
+
+    # _camera_centers == -R^T t with the jax rodrigues, vectorized.
+    rng = np.random.default_rng(3)
+    cams = rng.normal(0, 1.0, (16, 6)).astype(np.float32)
+    cams[0, :3] = 0.0                               # identity-rotation case
+    got = _camera_centers(cams)
+    for i in range(len(cams)):
+        r = np.asarray(rodrigues(jnp.asarray(cams[i, :3])))
+        np.testing.assert_allclose(
+            got[i], -r.T @ cams[i, 3:], rtol=1e-5, atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_long_sequence_sfm_200_keyframes():
+    """KITTI-shaped rehearsal (BASELINE config #5): >= 200 keyframes
+    through the full incremental driver — local-window BA, gated
+    loop-closure detection (pose-proximity shortlist, NOT all-pairs),
+    pose-graph drift repair — with an asserted ATE. Exercises the raised
+    default budgets (max_cameras=512) and the pow2 fill-bucketing that
+    keeps BA/pose-graph compiles O(log n), not per-keyframe."""
+    from siftmetal_tpu.slam.camera import project as _project
+    from siftmetal_tpu.slam.trajectory import ate_rmse, camera_centers
+
+    rng = np.random.default_rng(23)
+    n_frames, n_lm = 208, 4000
+    k = np.array([[400, 0, 320], [0, 400, 240], [0, 0, 1]], np.float32)
+
+    ang = rng.uniform(0, 2 * np.pi, n_lm)
+    lms = np.stack(
+        [10 * np.cos(ang), rng.uniform(-3, 3, n_lm), 10 * np.sin(ang)],
+        axis=1,
+    ).astype(np.float32)
+    descs = rng.integers(0, 200, (n_lm, 128)).astype(np.uint8)
+
+    cams = np.zeros((n_frames, 6), np.float32)
+    for f in range(n_frames):
+        yaw = 2 * np.pi * f / (n_frames - 2)
+        cams[f, 1] = yaw
+        cams[f, 3] = 3.0 * np.sin(yaw)
+        cams[f, 5] = 3.0 * (1 - np.cos(yaw))
+
+    frames = []
+    for f in range(n_frames):
+        uvs = np.asarray(
+            jax.vmap(
+                lambda p, f=f: _project(
+                    jnp.asarray(cams[f]), jnp.asarray(k), p
+                )
+            )(jnp.asarray(lms))
+        )
+        depth = SfmMap._depths(cams[f], lms)
+        inside = (
+            (depth > 1.0)
+            & (uvs[:, 0] > 0) & (uvs[:, 0] < 640)
+            & (uvs[:, 1] > 0) & (uvs[:, 1] < 480)
+        )
+        uvs = uvs + rng.normal(0, 0.2, uvs.shape)
+        xy = uvs[:, ::-1].copy()
+        frames.append(
+            (
+                jnp.asarray(xy.astype(np.float32)),
+                jnp.asarray(descs),
+                jnp.asarray(inside),
+            )
+        )
+
+    cfg = SfmConfig(new_landmarks_per_frame=256)  # default 512-cam budget
+    assert cfg.max_cameras >= 512
+    assert cfg.loop_max_candidates > 0
+    smap = SfmMap(k, cfg)
+    smap.initialize(frames[0], frames[1])
+    for fi, f in enumerate(frames[2:], start=2):
+        ok, n_in, _ = smap.add_frame(f)
+        assert ok, (fi, n_in)
+        if fi % 8 == 0:
+            smap.bundle_adjust(window=16)  # local-window only: long runs
+    assert smap.n_cameras == n_frames
+
+    base_ate = ate_rmse(
+        camera_centers(smap.cameras[:n_frames]), camera_centers(cams)
+    )
+    assert base_ate < 0.5, base_ate
+
+    # Inject accumulated second-half drift, then repair it with GATED
+    # loop-closure detection (the shortlist sees only
+    # loop_max_candidates nearest keyframes, not all ~190 eligible).
+    drift = np.zeros((n_frames, 6), np.float32)
+    g = np.linspace(0, 1, n_frames - 104) ** 1.5
+    drift[104:, 1] = 0.06 * g
+    drift[104:, 3] = 0.8 * g
+    smap.cameras[:n_frames] += drift
+    bad_ate = ate_rmse(
+        camera_centers(smap.cameras[:n_frames]), camera_centers(cams)
+    )
+    assert bad_ate > 3 * base_ate + 0.02
+
+    edges = smap.detect_loop_closures()
+    assert len(edges) >= 1, "no loop closures detected"
+    assert min(e[0] for e in edges) <= 20
+
+    smap.optimize_pose_graph(loop_closures=edges, n_iterations=60)
+    repaired_ate = ate_rmse(
+        camera_centers(smap.cameras[:n_frames]), camera_centers(cams)
+    )
+    assert repaired_ate < 0.5 * bad_ate, (base_ate, bad_ate, repaired_ate)
