@@ -10,9 +10,22 @@ iteration's keypoint count), so neither XLA nor an async dispatch tunnel
 can overlap/elide iterations; a single host fetch closes the timing. This
 matters: naive per-call timing with ``block_until_ready`` measured 10-600x
 too fast through the remote-TPU tunnel used in CI.
+
+Wall-time budget: the driver runs this with a hard timeout (~6 min; round
+3's run at 6 m 50 s was killed, rc=124, and captured nothing). Two fixed
+costs dominate cold wall time through the axon tunnel and are both
+mitigated here:
+  1. The FIRST device->host fetch in a process pays a one-time tunnel
+     warm-up measured at 2-6+ minutes (later fetches: ~25 ms). A daemon
+     thread issues a 4-byte fetch immediately so the warm-up overlaps
+     tracing + compilation instead of serializing after them.
+  2. XLA/Mosaic compilation of the pipeline. A persistent compilation
+     cache (.jax_cache/, committed warm) makes re-runs near-free; keep it
+     warm after any change to the compiled program.
 """
 
 import json
+import pathlib
 import sys
 import time
 
@@ -20,6 +33,11 @@ import numpy as np
 
 
 def main() -> None:
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from siftmetal_tpu.utils.bench_env import setup as _setup_bench_env
+
+    _setup_bench_env()  # persistent compile cache + tunnel warm-up thread
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -82,8 +100,6 @@ def main() -> None:
         # frames carry ~40% more detections than natural images, so the
         # default number is a conservative bound and this one is the
         # realistic-content variant (both belong in README).
-        import pathlib
-
         from siftmetal_tpu.utils.io import load_image
 
         img = np.asarray(

@@ -15,6 +15,10 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from siftmetal_tpu.utils.bench_env import setup as _setup_bench_env
+
+_setup_bench_env()  # persistent compile cache + tunnel warm-up thread
+
 import jax
 import jax.numpy as jnp
 from jax import lax

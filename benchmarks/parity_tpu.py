@@ -19,6 +19,10 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+from siftmetal_tpu.utils.bench_env import setup as _setup_bench_env
+
+_setup_bench_env()  # persistent compile cache + tunnel warm-up thread
+
 IPOL_STAGES = {
     "n_extrema": 3068,
     "n_soft": 2130,

@@ -86,7 +86,9 @@ def main(argv=None) -> dict:
             scores[k] = repeatability(pts1, sig1, ptsk, hmat, gk.shape)
         vals = [v for v in scores.values() if not np.isnan(v)]
         mean = float(np.mean(vals)) if vals else float("nan")
-        split = seq.name[0] if seq.name[:2] in ("i_", "v_") else "i"
+        # Unknown-prefix directories go to their own bucket so they can't
+        # skew the illumination/viewpoint split means (ADVICE r3 low).
+        split = seq.name[0] if seq.name[:2] in ("i_", "v_") else "other"
         if not np.isnan(mean):
             per_split.setdefault(split, []).append(mean)
         row = {

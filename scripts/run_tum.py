@@ -61,7 +61,12 @@ def main(argv=None) -> dict:
                     help="windowed BA every N keyframes")
     ap.add_argument("--ba-window", type=int, default=16)
     ap.add_argument("--loop-closure", action="store_true",
-                    help="run loop-closure detection + pose graph at the end")
+                    help="detect loop closures during the run and correct "
+                    "the trajectory with pose-graph optimization")
+    ap.add_argument("--loop-every", type=int, default=5,
+                    help="with --loop-closure: attempt detection every N "
+                    "registered keyframes (detection proposes closures for "
+                    "the latest keyframe only)")
     ap.add_argument("--max-cameras", type=int, default=512)
     ap.add_argument("--max-landmarks", type=int, default=32768)
     ap.add_argument("--max-observations", type=int, default=262144)
@@ -123,6 +128,7 @@ def main(argv=None) -> dict:
     log(f"bootstrap: {n_lm} landmarks")
     reg_ts = [used_ts[0], used_ts[1]]
     n_failed = 0
+    loops: list = []
     for n in range(2, len(frames)):
         ok, n_in, n_new = smap.add_frame(frames[n])
         if not ok:
@@ -132,11 +138,26 @@ def main(argv=None) -> dict:
         reg_ts.append(used_ts[n])
         if smap.n_cameras % args.ba_every == 0:
             smap.bundle_adjust(window=args.ba_window)
+        # detect_loop_closures proposes edges for the LATEST keyframe
+        # only, so it must run during the loop (running it once at the
+        # end would only ever close against the final keyframe — and a
+        # detected closure must actually be fed to the pose graph;
+        # ADVICE r3 medium).
+        if args.loop_closure and smap.n_cameras % args.loop_every == 0:
+            new_loops = smap.detect_loop_closures()
+            if new_loops:
+                log(f"keyframe {smap.n_cameras - 1}: "
+                    f"{len(new_loops)} loop closure(s)")
+                loops.extend(new_loops)
+                smap.optimize_pose_graph(loop_closures=loops)
+                smap.bundle_adjust(window=args.ba_window)
     if args.loop_closure:
-        loops = smap.detect_loop_closures()
+        final_loops = smap.detect_loop_closures()
+        if final_loops:
+            loops.extend(final_loops)
         log(f"loop closures: {len(loops)}")
         if loops:
-            smap.optimize_pose_graph()
+            smap.optimize_pose_graph(loop_closures=loops)
     stats = smap.bundle_adjust()
     t_sfm = time.perf_counter() - t0
 
@@ -157,6 +178,7 @@ def main(argv=None) -> dict:
         "n_failed": n_failed,
         "n_landmarks": int(smap.n_landmarks),
         "n_associated": n_assoc,
+        "n_loop_closures": len(loops),
         "reproj_rms_px": round(smap.reprojection_rms(), 3),
         "ba_final_cost": round(float(stats.final_cost), 1),
         "extract_s": round(t_extract, 1),

@@ -169,7 +169,14 @@ def match_bruteforce(
     matmul. Target sets larger than ``target_block`` stream through a
     lax.scan of block matmuls with a running top-2 merge — exact at ANY
     map size without materializing the [Q, T] distance matrix (4096 x
-    1M in f32 is 16 GB; blocked it peaks at [Q, target_block])."""
+    1M in f32 is 16 GB; blocked it peaks at [Q, target_block]).
+
+    ``ratio_threshold >= 1.0`` is a SENTINEL that disables the Lowe
+    ratio test entirely (including the isfinite second-distance guard)
+    at trace time — it does NOT loosen the test. Use it when querying
+    maps with near-duplicate targets (SfM track merging); a caller
+    wanting a loose ratio test must pass a value < 1.0 (values like 1.2
+    are indistinguishable from "off")."""
     t_n = target_features.shape[0]
     if t_n <= target_block:
         d2 = _sq_dists(query_features, target_features)

@@ -91,7 +91,7 @@ def blur_pallas(
             _blur_kernel, taps=taps, tile_h=tile_h, width=w_pad - 2 * r
         ),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_h, w_pad - 2 * r),
             lambda i: (i, 0),

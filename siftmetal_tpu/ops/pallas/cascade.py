@@ -124,7 +124,7 @@ def octave_cascade_pallas(
             w_out=w_out,
         ),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(
                 (n_stage, tile_h, w_out),

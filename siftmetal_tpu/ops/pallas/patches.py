@@ -544,7 +544,7 @@ def descriptor_lanes_pallas(
         num_scalar_prefetch=10,
         grid=(l // GROUP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (GROUP, 128),
@@ -734,7 +734,7 @@ def orientation_hist_lanes_pallas(
         num_scalar_prefetch=9,
         grid=(l // GROUP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
@@ -1048,7 +1048,7 @@ def orient_desc_lanes_pallas(
         num_scalar_prefetch=9,
         grid=(l // GROUP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(

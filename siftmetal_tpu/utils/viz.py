@@ -98,6 +98,66 @@ def plt_figure_for(img: np.ndarray):
     return fig
 
 
+def draw_descriptors(
+    image: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    sigma: np.ndarray,
+    theta: np.ndarray,
+    valid: Optional[np.ndarray] = None,
+    n_histograms: int = 4,
+    color: str = "orange",
+    path: Optional[str] = None,
+) -> np.ndarray:
+    """Rotated 4x4 descriptor sampling grids over the image
+    (SIFTRenderer.drawDescriptors analogue, SIFTRenderer.swift:77-111).
+
+    Each keypoint gets its oriented descriptor footprint: a square of
+    side ``n_histograms * 3 * sigma`` (the per-cell width 3*sigma matches
+    the descriptor kernel's histogramWidth, SIFTDescriptor.metal:160-166)
+    rotated by theta, with the interior cell gridlines drawn. x = row,
+    y = col (detector convention, as draw_keypoints)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = _to_display(image)
+    if valid is not None:
+        sel = np.asarray(valid).astype(bool)
+        x, y = np.asarray(x)[sel], np.asarray(y)[sel]
+        sigma, theta = np.asarray(sigma)[sel], np.asarray(theta)[sel]
+
+    fig = plt_figure_for(img)
+    ax = fig.axes[0]
+    for i in range(len(x)):
+        half = 0.5 * n_histograms * 3.0 * max(float(sigma[i]), 1.0)
+        ct, st = np.cos(float(theta[i])), np.sin(float(theta[i]))
+        # Grid lines in the keypoint frame (u along theta, v across),
+        # mapped to image coords: row = x + u*ct - v*st, col = y + u*st
+        # + v*ct (theta measured from the row axis toward the col axis,
+        # matching draw_keypoints' spokes).
+        ts = np.linspace(-half, half, n_histograms + 1)
+        for t in ts:
+            for (u0, v0, u1, v1) in (
+                (t, -half, t, half),  # lines across v
+                (-half, t, half, t),  # lines across u
+            ):
+                r0, c0 = x[i] + u0 * ct - v0 * st, y[i] + u0 * st + v0 * ct
+                r1, c1 = x[i] + u1 * ct - v1 * st, y[i] + u1 * st + v1 * ct
+                ax.plot([c0, c1], [r0, r1], color=color, linewidth=0.5)
+        # Orientation spoke from center to the grid edge.
+        ax.plot(
+            [y[i], y[i] + half * st], [x[i], x[i] + half * ct],
+            color=color, linewidth=0.8,
+        )
+    out = _figure_to_rgb(fig)
+    if path:
+        fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return out
+
+
 def draw_matches(
     image_a: np.ndarray,
     xy_a: np.ndarray,

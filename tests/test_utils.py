@@ -66,6 +66,24 @@ def test_viz_renders(tmp_path):
     )
     assert out2.shape[1] == 160
 
+    from siftmetal_tpu.utils.viz import draw_descriptors
+
+    out3 = draw_descriptors(
+        img,
+        x=np.array([10.0, 30.0]),
+        y=np.array([20.0, 60.0]),
+        sigma=np.array([1.0, 2.0]),
+        theta=np.array([0.0, 1.2]),
+        valid=np.array([True, True]),
+        path=str(tmp_path / "d.png"),
+    )
+    assert out3.shape == (60, 80, 3)
+    assert (tmp_path / "d.png").exists()
+    # The grid must actually mark pixels (differs from an empty render).
+    empty = draw_descriptors(img, np.array([]), np.array([]),
+                             np.array([]), np.array([]))
+    assert (out3 != empty).any()
+
 
 def test_measure_accumulates():
     reset_timings()
