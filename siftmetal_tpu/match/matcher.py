@@ -41,6 +41,14 @@ class Matches(NamedTuple):
     distance: jnp.ndarray         # [Q] f32 — best L2 distance (raw scale)
     second_distance: jnp.ndarray  # [Q] f32
     valid: jnp.ndarray            # [Q] bool — passed both thresholds
+    # [Q] int32 — raw argmin / arg-second-min of the distance row,
+    # regardless of acceptance (-1 where undefined, e.g. the guided
+    # matcher). Lets a caller resolve ratio-test rejections caused by
+    # near-DUPLICATE targets: when best_idx and second_idx are the same
+    # physical 3D point, d1 ~= d2 rejects an unambiguous match (SfM PnP
+    # matching against a map with duplicated landmarks).
+    best_idx: jnp.ndarray = None
+    second_idx: jnp.ndarray = None
 
     @property
     def count(self) -> jnp.ndarray:
@@ -102,8 +110,11 @@ def pairwise_sq_dists_u8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return a2 + b2 - 2 * dot
 
 
-def _top2(d2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-row (best, second-best, argbest) of a [Q, T] distance matrix.
+def _top2(
+    d2: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row (best, second-best, argbest, argsecond) of a [Q, T]
+    distance matrix.
 
     Two argmin/min passes instead of ``lax.top_k`` — top_k over wide rows
     is the matcher's bottleneck on TPU (341 ms for 4096x65536 vs ~2 full
@@ -114,13 +125,15 @@ def _top2(d2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     d2_masked = jnp.where(cols == idx1[:, None], jnp.inf, d2)
     d2nd = jnp.min(d2_masked, axis=1)
-    return d1, d2nd, idx1.astype(jnp.int32)
+    idx2 = jnp.argmin(d2_masked, axis=1)
+    return d1, d2nd, idx1.astype(jnp.int32), idx2.astype(jnp.int32)
 
 
 def _accept(
     d1: jnp.ndarray,
     d2: jnp.ndarray,
     idx: jnp.ndarray,
+    idx2: jnp.ndarray,
     query_valid: jnp.ndarray,
     absolute_threshold: float,
     ratio_threshold: float,
@@ -138,6 +151,8 @@ def _accept(
         distance=d1,
         second_distance=d2,
         valid=ok,
+        best_idx=idx.astype(jnp.int32),
+        second_idx=idx2.astype(jnp.int32),
     )
 
 
@@ -181,9 +196,9 @@ def match_bruteforce(
     if t_n <= target_block:
         d2 = _sq_dists(query_features, target_features)
         d2 = jnp.where(target_valid[None, :], d2, jnp.inf)
-        b1, b2, idx = _top2(d2)
+        b1, b2, idx, idx2 = _top2(d2)
         return _accept(
-            jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
+            jnp.sqrt(b1), jnp.sqrt(b2), idx, idx2, query_valid,
             absolute_threshold, ratio_threshold,
         )
 
@@ -196,28 +211,36 @@ def match_bruteforce(
     q_n = query_features.shape[0]
 
     def body(carry, blk):
-        b1, b2, i1, off = carry
+        b1, b2, i1, i2, off = carry
         tf_b, tv_b = blk
         d2 = _sq_dists(query_features, tf_b)
         d2 = jnp.where(tv_b[None, :], d2, jnp.inf)
-        c1, c2, ci = _top2(d2)
+        c1, c2, ci, ci2 = _top2(d2)
         ci = ci + off
+        ci2 = ci2 + off
         # Streaming top-2 merge: best = min of bests; second-best = min
-        # of (worse best, both seconds).
+        # of (worse best, both seconds) — with its index tracked through
+        # the same three-way comparison.
         nb1 = jnp.minimum(b1, c1)
         ni1 = jnp.where(c1 < b1, ci, i1)
-        nb2 = jnp.minimum(jnp.maximum(b1, c1), jnp.minimum(b2, c2))
-        return (nb1, nb2, ni1, off + target_block), None
+        lose = jnp.maximum(b1, c1)                  # the defeated best
+        li = jnp.where(c1 < b1, i1, ci)
+        nb2 = jnp.minimum(lose, jnp.minimum(b2, c2))
+        ni2 = jnp.where(
+            lose <= jnp.minimum(b2, c2), li, jnp.where(b2 <= c2, i2, ci2)
+        )
+        return (nb1, nb2, ni1, ni2, off + target_block), None
 
     init = (
         jnp.full((q_n,), jnp.inf),
         jnp.full((q_n,), jnp.inf),
         jnp.full((q_n,), -1, jnp.int32),
+        jnp.full((q_n,), -1, jnp.int32),
         jnp.int32(0),
     )
-    (b1, b2, idx, _), _ = lax.scan(body, init, (tf, tv))
+    (b1, b2, idx, idx2, _), _ = lax.scan(body, init, (tf, tv))
     return _accept(
-        jnp.sqrt(b1), jnp.sqrt(b2), idx, query_valid,
+        jnp.sqrt(b1), jnp.sqrt(b2), idx, idx2, query_valid,
         absolute_threshold, ratio_threshold,
     )
 
@@ -265,6 +288,8 @@ def match_guided(
         distance=dist,
         second_distance=jnp.full_like(dist, jnp.inf),
         valid=ok,
+        best_idx=idx,
+        second_idx=jnp.full_like(idx, -1),
     )
 
 

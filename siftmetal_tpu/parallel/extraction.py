@@ -84,14 +84,14 @@ def make_sharded_matcher(
 
         d2 = pairwise_sq_dists(raw_features(qf), raw_features(tf))
         d2 = jnp.where(tv[None, :], d2, jnp.inf)
-        b1, b2, idx = _top2(d2)
+        b1, b2, idx, idx2 = _top2(d2)
         shard = lax.axis_index(axis)
-        gidx = idx + shard * tf.shape[0]
-        # The global second-best's index is never consumed (only its
-        # distance survives the merge), so slot 2 carries a placeholder.
         return (
             jnp.stack([b1, b2], axis=1),
-            jnp.stack([gidx, jnp.full_like(gidx, -1)], axis=1),
+            jnp.stack(
+                [idx + shard * tf.shape[0], idx2 + shard * tf.shape[0]],
+                axis=1,
+            ),
         )
 
     def merged(qf, qv, tf, tv):
@@ -103,10 +103,12 @@ def make_sharded_matcher(
         idx_flat = jnp.moveaxis(idx_all, 0, 1).reshape(-1, 2 * n_dev)
         neg, pos = lax.top_k(-d2_flat, 2)
         best_idx = jnp.take_along_axis(idx_flat, pos[:, :1], axis=1)[:, 0]
+        second_idx = jnp.take_along_axis(idx_flat, pos[:, 1:2], axis=1)[:, 0]
         d1 = jnp.sqrt(jnp.maximum(-neg[:, 0], 0.0))
         d2nd = jnp.sqrt(jnp.maximum(-neg[:, 1], 0.0))
         return _accept(
-            d1, d2nd, best_idx, qv, absolute_threshold, ratio_threshold
+            d1, d2nd, best_idx, second_idx, qv,
+            absolute_threshold, ratio_threshold,
         )
 
     return jax.jit(

@@ -62,6 +62,27 @@ def _jit_optimize_pose_graph(g, n_iterations):
     return optimize_pose_graph(g, n_iterations=n_iterations)
 
 
+def _parallax_ok(
+    pts3: np.ndarray, cam_a: np.ndarray, cam_b: np.ndarray, min_angle: float
+) -> np.ndarray:
+    """True where the triangulation angle at each point — between the
+    bearing rays from the two camera centers — exceeds ``min_angle``
+    (radians). Near-parallel rays (points near the epipole) make depth
+    unobservable; see SfmConfig.triangulation_min_parallax."""
+    centers = _camera_centers(np.stack([cam_a, cam_b]).astype(np.float32))
+    r1 = (pts3 - centers[0]).astype(np.float64)
+    r2 = (pts3 - centers[1]).astype(np.float64)
+    # atan2(|r1 x r2|, r1.r2) — numerically stable at SMALL angles where
+    # the cosine form saturates (1 - cos(0.004) ~ 8e-6, within a few ulp
+    # of float32 1.0 once |pts3| is large; the cross-product magnitude
+    # is first-order in the angle, so no cancellation).
+    cross = np.cross(r1, r2)
+    ang = np.arctan2(
+        np.linalg.norm(cross, axis=1), (r1 * r2).sum(axis=1)
+    )
+    return ang > min_angle
+
+
 def _camera_centers(cams: np.ndarray) -> np.ndarray:
     """Camera centers -R^T t for [N, 6] (rvec, t) poses, vectorized in
     numpy (Rodrigues rotation of t by -theta about the unit axis)."""
@@ -131,6 +152,32 @@ class SfmConfig:
     # pose would permanently corrupt the map and the odometry chain).
     min_pnp_inliers: int = 10
     triangulation_min_depth: float = 1e-3
+    # Minimum triangulation (parallax) angle, radians, between the two
+    # bearing rays of a NEW landmark (initialize + add_frame). Near the
+    # epipole the rays are parallel and depth is unobservable: measured
+    # on the 208-keyframe orbit rehearsal, epipole-adjacent one-frame-
+    # baseline triangulations produced landmarks at 30-600x the true
+    # scene depth; such a landmark never re-projects near its keypoint
+    # again, so the SAME physical point is re-triangulated (equally
+    # badly) every subsequent frame — duplicate descriptors compound
+    # (~24% of the map by frame 32), the PnP ratio test then sees
+    # d1 ~= d2 ~= 0 and registration collapses at the loop-completion
+    # frame. Gating creation on parallax removes the degenerate
+    # geometry itself (the rejected keypoint stays unmapped and becomes
+    # triangulable a few frames later, once the motion direction — and
+    # with it the epipole — has rotated away). 0 disables.
+    triangulation_min_parallax: float = 0.004
+    # Landmark culling (cull_landmarks, run automatically by add_frame):
+    # a landmark still carrying fewer than cull_min_obs observations
+    # cull_age keyframes after its creation has failed to earn support —
+    # it is either a bad triangulation (its reprojection never lands
+    # near any keypoint again) or out of view; either way it only
+    # poisons descriptor matching (a duplicate with distance ~0 defeats
+    # the ratio test for its healthy twin). Retired landmarks are
+    # tombstoned (lm_alive) and their observations masked out of BA;
+    # the physical point remains re-triangulable. cull_age=0 disables.
+    cull_min_obs: int = 3
+    cull_age: int = 8
     ba_iterations: int = 6
     ba_huber_delta: float = 3.0
 
@@ -151,6 +198,13 @@ class SfmMap:
         self.obs_lm = np.zeros(c.max_observations, dtype=np.int32)
         self.obs_uv = np.zeros((c.max_observations, 2), dtype=np.float32)
         self.n_obs = 0
+        # Landmark lifecycle (cull_landmarks): alive tombstones, creation
+        # keyframe, observation support count, per-observation liveness.
+        self.lm_alive = np.ones(c.max_landmarks, dtype=bool)
+        self.lm_created = np.zeros(c.max_landmarks, dtype=np.int32)
+        self.lm_nobs = np.zeros(c.max_landmarks, dtype=np.int32)
+        self.obs_alive = np.ones(c.max_observations, dtype=bool)
+        self.n_culled = 0
         self.frames = []  # (xy, desc, valid) per registered keyframe
         self.odometry = []  # rel pose i -> i+1 measured at registration
 
@@ -164,6 +218,7 @@ class SfmMap:
         self.obs_cam[self.n_obs:end] = cam_idx
         self.obs_lm[self.n_obs:end] = lm_idx
         self.obs_uv[self.n_obs:end] = uv
+        np.add.at(self.lm_nobs, lm_idx, 1)
         self.n_obs = end
 
     def _add_landmarks(self, pts3, desc):
@@ -173,8 +228,32 @@ class SfmMap:
         idx = np.arange(self.n_landmarks, end, dtype=np.int32)
         self.landmarks[self.n_landmarks:end] = pts3
         self.lm_desc[self.n_landmarks:end] = desc
+        self.lm_created[self.n_landmarks:end] = max(self.n_cameras - 1, 0)
         self.n_landmarks = end
         return idx
+
+    def cull_landmarks(self) -> int:
+        """Tombstone landmarks whose observation support never grew past
+        their creation pair (see SfmConfig.cull_min_obs / cull_age).
+        Their observations are masked out of BA and reprojection stats;
+        matching never offers them again. Returns the number retired."""
+        c = self.config
+        if c.cull_age <= 0 or self.n_landmarks == 0:
+            return 0
+        n = self.n_landmarks
+        kill = (
+            self.lm_alive[:n]
+            & (self.lm_nobs[:n] < c.cull_min_obs)
+            & (self.lm_created[:n] <= self.n_cameras - 1 - c.cull_age)
+        )
+        idx = np.nonzero(kill)[0]
+        if len(idx) == 0:
+            return 0
+        self.lm_alive[idx] = False
+        dead_obs = kill[self.obs_lm[: self.n_obs]]
+        self.obs_alive[: self.n_obs] &= ~dead_obs
+        self.n_culled += len(idx)
+        return len(idx)
 
     @staticmethod
     def _depths(cam: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -240,7 +319,22 @@ class SfmMap:
         good = inl & (z0 > c.triangulation_min_depth) & (
             z1 > c.triangulation_min_depth
         )
-        sel = np.nonzero(good)[0][: c.new_landmarks_per_frame]
+        if c.triangulation_min_parallax > 0:
+            # Bootstrap poses come from a noise-limited essential matrix
+            # with an arbitrary |t|=1 scale; when the true baseline is
+            # tiny the recovered geometry can be warped enough that NO
+            # point clears a hard parallax gate (measured on the
+            # 208-keyframe orbit: 0 of 4000). So at init parallax is a
+            # PREFERENCE, not a gate: fill the budget with well-
+            # conditioned points first, degenerate ones only if there is
+            # room left. add_frame applies the hard gate (its poses are
+            # metric PnP results).
+            pok = _parallax_ok(pts3, cam0, cam1, c.triangulation_min_parallax)
+            cand = np.nonzero(good)[0]
+            cand = np.concatenate([cand[pok[cand]], cand[~pok[cand]]])
+            sel = np.sort(cand[: c.new_landmarks_per_frame])
+        else:
+            sel = np.nonzero(good)[0][: c.new_landmarks_per_frame]
         lm_idx = self._add_landmarks(
             pts3[sel], np.asarray(d0)[sel]
         )
@@ -282,15 +376,52 @@ class SfmMap:
         # budget — a 65k-landmark budget must not tax a 2k-landmark map.
         nl = _bucket(self.n_landmarks, c.max_landmarks)
         lm_valid = np.zeros(nl, dtype=bool)
-        lm_valid[: self.n_landmarks] = True
+        lm_valid[: self.n_landmarks] = self.lm_alive[: self.n_landmarks]
         m = match_bruteforce(
             desc, jnp.asarray(self.lm_desc[:nl]), valid,
             jnp.asarray(lm_valid),
             absolute_threshold=c.match_absolute_threshold,
             ratio_threshold=c.match_ratio_threshold,
         )
-        mv = np.asarray(m.valid)
-        lm_ids = np.asarray(m.target_idx)
+        mv = np.array(m.valid)              # writable copies (rescue below)
+        lm_ids = np.array(m.target_idx)
+        # Duplicate-aware ratio-test rescue: the Lowe test rejects a
+        # keypoint when its two best map matches are nearly equidistant
+        # (d1 ~= d2) — but when those two LANDMARKS are the same physical
+        # 3D point (residual duplicates that track merging/culling hasn't
+        # retired yet), the match is unambiguous and rejecting it starves
+        # PnP exactly where the map is densest. Accept the best target
+        # when the top-2 landmark positions are 3D-close relative to
+        # their distance from the current camera estimate (previous
+        # keyframe center — baseline-independent scale proxy). RANSAC
+        # still arbitrates every rescued correspondence.
+        if self.n_cameras > 0 and m.second_idx is not None:
+            d1 = np.asarray(m.distance)
+            i2 = np.asarray(m.second_idx)
+            cand = (
+                np.asarray(valid)
+                & ~mv
+                & (d1 < c.match_absolute_threshold)
+                & (i2 >= 0)
+            )
+            if cand.any():
+                ci = np.nonzero(cand)[0]
+                best = np.asarray(m.best_idx)[ci]
+                p1 = self.landmarks[best]
+                p2 = self.landmarks[i2[ci]]
+                center = _camera_centers(
+                    self.cameras[self.n_cameras - 1 : self.n_cameras]
+                )[0]
+                dist_c = np.maximum(
+                    np.linalg.norm(p1 - center, axis=1), 1e-6
+                )
+                same_pt = (
+                    np.linalg.norm(p1 - p2, axis=1) / dist_c
+                    < max(c.track_merge_frac, 0.02)
+                ) & self.lm_alive[best] & self.lm_alive[i2[ci]]
+                rescued = ci[same_pt]
+                mv[rescued] = True
+                lm_ids[rescued] = best[same_pt]
         uv = np.asarray(xy)[:, ::-1].copy()          # (col, row)
         pts3 = self.landmarks[np.maximum(lm_ids, 0)]
 
@@ -331,6 +462,10 @@ class SfmMap:
             observed[lm_ids[sel]] = True
             lm_ok = (
                 (np.arange(nl) < self.n_landmarks)
+                & np.pad(
+                    self.lm_alive[: self.n_landmarks],
+                    (0, nl - self.n_landmarks),
+                )
                 & (zs > c.triangulation_min_depth)
                 & ~observed
             )
@@ -409,6 +544,10 @@ class SfmMap:
             & (depth(cam_prev, pts3n) > c.triangulation_min_depth)
             & (err < c.pnp_inlier_threshold)
         )
+        if c.triangulation_min_parallax > 0:
+            good &= _parallax_ok(
+                pts3n, cam_prev, cam_new, c.triangulation_min_parallax
+            )
         seln = np.nonzero(good)[0][: c.new_landmarks_per_frame]
 
         # Track merging: a candidate "new" point whose descriptor matches
@@ -420,7 +559,7 @@ class SfmMap:
         n_merged = 0
         if c.track_merge_frac > 0 and len(seln) > 0 and self.n_landmarks > 0:
             lm_valid = np.zeros(nl, dtype=bool)
-            lm_valid[: self.n_landmarks] = True
+            lm_valid[: self.n_landmarks] = self.lm_alive[: self.n_landmarks]
             # ratio_threshold=1.0 disables the Lowe ratio test HERE (and
             # only here): the merge question is "is this triangulation
             # the same 3D point as an existing landmark", and once any
@@ -441,11 +580,34 @@ class SfmMap:
             )
             mmv = np.asarray(mm.valid)
             tgt_lm = np.asarray(mm.target_idx)
-            d3 = np.linalg.norm(
-                pts3n[seln] - self.landmarks[np.maximum(tgt_lm, 0)], axis=1
+            # Same-track decision: project the EXISTING landmark into the
+            # accepted pose and gate on 2D reprojection error — the same
+            # criterion a PnP inlier satisfies. The previous gate compared
+            # the candidate's freshly-triangulated position to the
+            # landmark in 3D (d3 < frac*depth), but depth error from a
+            # one-frame baseline grows as z^2/(f*b) and routinely exceeds
+            # any sane fraction of depth (measured on the 208-keyframe
+            # orbit: ~22 missed merges/frame compounding to a 24%%
+            # duplicate-landmark rate by frame 32, which then poisons the
+            # PnP ratio test — d1 ~= d2 ~= 0 — until registration
+            # collapses at the loop-completion frame). Reprojection error
+            # is baseline-independent; the 3D-proximity check is kept as
+            # an OR fallback for landmarks whose stored position is stale
+            # (e.g. pre-BA) but whose triangulation agrees.
+            tgt_pts = self.landmarks[np.maximum(tgt_lm, 0)]
+            cam_j = jnp.asarray(cam_new)
+            tgt_proj = np.asarray(
+                jax.vmap(lambda p: project(cam_j, self.k, p))(
+                    jnp.asarray(tgt_pts)
+                )
             )
+            err2d = np.linalg.norm(tgt_proj - uv[seln], axis=1)
+            d3 = np.linalg.norm(pts3n[seln] - tgt_pts, axis=1)
             depth_n = depth(cam_new, pts3n[seln])
-            merge = mmv & (d3 < c.track_merge_frac * np.maximum(depth_n, 1e-6))
+            merge = mmv & (
+                (err2d < c.pnp_inlier_threshold)
+                | (d3 < c.track_merge_frac * np.maximum(depth_n, 1e-6))
+            )
             midx = np.nonzero(merge)[0]
             if len(midx):
                 self._add_observations(
@@ -483,6 +645,7 @@ class SfmMap:
                 )
             ).astype(np.float32)
         )
+        self.cull_landmarks()
         return True, n_in, len(seln)
 
     def detect_loop_closures(self, key=None):
@@ -552,7 +715,11 @@ class SfmMap:
             kp2lm[kp_j] = lm_j
             tgt = np.asarray(m.target_idx)
             lm_of_match = kp2lm[np.maximum(tgt, 0)]
-            ok2d3d = np.asarray(m.valid) & (lm_of_match >= 0)
+            ok2d3d = (
+                np.asarray(m.valid)
+                & (lm_of_match >= 0)
+                & self.lm_alive[np.maximum(lm_of_match, 0)]
+            )
             if ok2d3d.sum() < c.loop_min_inliers:
                 continue
             pts3 = self.landmarks[np.maximum(lm_of_match, 0)]
@@ -621,7 +788,7 @@ class SfmMap:
         nlm = _bucket(self.n_landmarks, c.max_landmarks)
         no = _bucket(self.n_obs, c.max_observations)
         valid = np.zeros(no, dtype=bool)
-        valid[: self.n_obs] = True
+        valid[: self.n_obs] = self.obs_alive[: self.n_obs]
         if window is not None:
             first_free = max(fixed_cameras, self.n_cameras - window)
             fixed_cameras = first_free
@@ -746,7 +913,7 @@ class SfmMap:
         nlm = _bucket(self.n_landmarks, c.max_landmarks)
         no = _bucket(self.n_obs, c.max_observations)
         valid = np.zeros(no, dtype=bool)
-        valid[: self.n_obs] = True
+        valid[: self.n_obs] = self.obs_alive[: self.n_obs]
         p = _P(
             cameras=jnp.asarray(self.cameras[:nc]),
             landmarks=jnp.asarray(self.landmarks[:nlm]),
@@ -757,4 +924,5 @@ class SfmMap:
             valid=jnp.asarray(valid),
         )
         r = np.asarray(residuals(p))
-        return float(np.sqrt((r ** 2).sum() / max(self.n_obs, 1)))
+        n_live = int(self.obs_alive[: self.n_obs].sum())
+        return float(np.sqrt((r ** 2).sum() / max(n_live, 1)))

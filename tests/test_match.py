@@ -125,12 +125,15 @@ def test_top2_matches_topk_reference():
     rng = np.random.default_rng(7)
     d2 = rng.uniform(0, 10, (64, 257)).astype(np.float32)
     d2[5, 100] = d2[5, 101] = 0.25  # exact tie
-    b1, b2, idx = _top2(jnp.asarray(d2))
+    b1, b2, idx, idx2 = _top2(jnp.asarray(d2))
     srt = np.sort(d2, axis=1)
     np.testing.assert_allclose(np.asarray(b1), srt[:, 0], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(b2), srt[:, 1], rtol=1e-6)
     assert (np.take_along_axis(d2, np.asarray(idx)[:, None], 1)[:, 0]
             == srt[:, 0]).all()
+    assert (np.take_along_axis(d2, np.asarray(idx2)[:, None], 1)[:, 0]
+            == srt[:, 1]).all()
+    assert (np.asarray(idx2) != np.asarray(idx)).all()
 
 
 def test_masked_nonzero_dense_block_reports_drops():
@@ -213,3 +216,23 @@ def test_match_bruteforce_blocked_equals_single_shot():
     np.testing.assert_array_equal(
         np.asarray(ref.valid), np.asarray(got.valid)
     )
+    np.testing.assert_array_equal(
+        np.asarray(ref.best_idx), np.asarray(got.best_idx)
+    )
+    # second_idx must point AT second_distance in both paths (the index
+    # itself may differ only under exact distance ties).
+    from siftmetal_tpu.match.matcher import pairwise_sq_dists_u8
+
+    for mm in (ref, got):
+        d2 = np.asarray(
+            pairwise_sq_dists_u8(q, t)
+        ).astype(np.float64) / (255.0 * 255.0)
+        d2[:, ~np.asarray(tv)] = np.inf
+        picked = np.sqrt(
+            np.take_along_axis(
+                d2, np.asarray(mm.second_idx)[:, None], 1
+            )[:, 0]
+        )
+        np.testing.assert_allclose(
+            picked, np.asarray(mm.second_distance), rtol=1e-5
+        )
