@@ -50,18 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _detect_kernel(
     dog_hbm,
-    cand_ref,
-    ok_ref,
-    c_oi_ref,
-    c_oj_ref,
-    c_os_ref,
-    c_val_ref,
-    rawc_ref,
-    softc_ref,
-    dropc_ref,
-    scratch_db,
-    sem,
-    *,
+    *refs,
     n_scales: int,
     tile_h: int,
     w_pad: int,
@@ -70,7 +59,20 @@ def _detect_kernel(
     soft_threshold: float,
     edge_bound: float,
     slots: int,
+    emit_fields: bool,
 ):
+    if emit_fields:
+        (cand_ref, ok_ref, c_oi_ref, c_oj_ref, c_os_ref, c_val_ref,
+         rawc_ref, softc_ref, dropc_ref, scratch_db, sem) = refs
+    else:
+        # Lean variant (see detect_candidates_pallas): only candidate
+        # positions + counters leave the kernel; the tail re-derives the
+        # Taylor step at the COMPACTED lanes from one 19-point DoG
+        # gather, so the per-slot field harvesting (24 of 36 full-tile
+        # masked reduces per scale — the kernel's dominant vector cost)
+        # and the whole dense Taylor/edge computation disappear.
+        (cand_ref, ok_ref, rawc_ref, softc_ref, dropc_ref,
+         scratch_db, sem) = refs
     t = pl.program_id(1)
     bb = pl.program_id(0)
     n_tiles = pl.num_programs(1)
@@ -206,59 +208,64 @@ def _detect_kernel(
         soft_total = soft_total + jnp.sum(mi, keepdims=True).reshape(1, 1)
 
         # -- dense Taylor step (same formulas as dense_taylor_fields) ---
-        gi = 0.5 * (nb(s, 0, 1, 0) - nb(s, 0, -1, 0))
-        gj = 0.5 * (nb(s, 0, 0, 1) - nb(s, 0, 0, -1))
-        gs = 0.5 * (nb(s, 1, 0, 0) - nb(s, -1, 0, 0))
+        # Skipped entirely in the lean (emit_fields=False) variant: the
+        # tail derives these at the compacted lanes from a 19-point DoG
+        # gather (sift/detect.py _taylor_from_stencil).
+        if emit_fields:
+            gi = 0.5 * (nb(s, 0, 1, 0) - nb(s, 0, -1, 0))
+            gj = 0.5 * (nb(s, 0, 0, 1) - nb(s, 0, 0, -1))
+            gs = 0.5 * (nb(s, 1, 0, 0) - nb(s, -1, 0, 0))
 
-        hii = nb(s, 0, 1, 0) + nb(s, 0, -1, 0) - 2.0 * c
-        hjj = nb(s, 0, 0, 1) + nb(s, 0, 0, -1) - 2.0 * c
-        hss = nb(s, 1, 0, 0) + nb(s, -1, 0, 0) - 2.0 * c
-        hij = 0.25 * (
-            nb(s, 0, 1, 1) - nb(s, 0, 1, -1)
-            - nb(s, 0, -1, 1) + nb(s, 0, -1, -1)
-        )
-        his = 0.25 * (
-            nb(s, 1, 1, 0) - nb(s, 1, -1, 0)
-            - nb(s, -1, 1, 0) + nb(s, -1, -1, 0)
-        )
-        hjs = 0.25 * (
-            nb(s, 1, 0, 1) - nb(s, 1, 0, -1)
-            - nb(s, -1, 0, 1) + nb(s, -1, 0, -1)
-        )
+            hii = nb(s, 0, 1, 0) + nb(s, 0, -1, 0) - 2.0 * c
+            hjj = nb(s, 0, 0, 1) + nb(s, 0, 0, -1) - 2.0 * c
+            hss = nb(s, 1, 0, 0) + nb(s, -1, 0, 0) - 2.0 * c
+            hij = 0.25 * (
+                nb(s, 0, 1, 1) - nb(s, 0, 1, -1)
+                - nb(s, 0, -1, 1) + nb(s, 0, -1, -1)
+            )
+            his = 0.25 * (
+                nb(s, 1, 1, 0) - nb(s, 1, -1, 0)
+                - nb(s, -1, 1, 0) + nb(s, -1, -1, 0)
+            )
+            hjs = 0.25 * (
+                nb(s, 1, 0, 1) - nb(s, 1, 0, -1)
+                - nb(s, -1, 0, 1) + nb(s, -1, 0, -1)
+            )
 
-        det = (
-            hii * (hjj * hss - hjs * hjs)
-            - hij * (hij * hss - hjs * his)
-            + his * (hij * hjs - hjj * his)
-        )
-        # ONE reciprocal instead of six divides (divides are multi-pass
-        # on the VPU). Within the interpret-equivalence rtol vs the XLA
-        # reference's per-cofactor divides.
-        inv_det = 1.0 / det
-        aa = (hjj * hss - hjs * hjs) * inv_det
-        ab = (his * hjs - hij * hss) * inv_det
-        ac = (hij * hjs - his * hjj) * inv_det
-        bb = (hii * hss - his * his) * inv_det
-        bc2 = (his * hij - hii * hjs) * inv_det
-        cc = (hii * hjj - hij * hij) * inv_det
+            det = (
+                hii * (hjj * hss - hjs * hjs)
+                - hij * (hij * hss - hjs * his)
+                + his * (hij * hjs - hjj * his)
+            )
+            # ONE reciprocal instead of six divides (divides are
+            # multi-pass on the VPU). Within the interpret-equivalence
+            # rtol vs the XLA reference's per-cofactor divides.
+            inv_det = 1.0 / det
+            aa = (hjj * hss - hjs * hjs) * inv_det
+            ab = (his * hjs - hij * hss) * inv_det
+            ac = (hij * hjs - his * hjj) * inv_det
+            bb = (hii * hss - his * his) * inv_det
+            bc2 = (his * hij - hii * hjs) * inv_det
+            cc = (hii * hjj - hij * hij) * inv_det
 
-        ofst_i = -(aa * gi + ab * gj + ac * gs)
-        ofst_j = -(ab * gi + bb * gj + bc2 * gs)
-        ofst_s = -(ac * gi + bc2 * gj + cc * gs)
-        fval_keep = c + 0.5 * (
-            gi * ofst_i + gj * ofst_j + gs * ofst_s
-        )
-        # The dense Taylor/edge planes are NOT stored: the iteration-1
-        # values every candidate needs are harvested at the compacted
-        # slots below, and the few candidates that MOVE (~150/frame)
-        # re-derive their Taylor step from 27-point DoG gathers in the
-        # XLA tail (sift/detect.py _dog_lookup27) — dropping the packed
-        # [S-2, 4, Ht, Wp] + edge plane stores cut 13 full-tile stores
-        # per scale and ~63 MB/frame of HBM write traffic at octave 0.
+            ofst_i = -(aa * gi + ab * gj + ac * gs)
+            ofst_j = -(ab * gi + bb * gj + bc2 * gs)
+            ofst_s = -(ac * gi + bc2 * gj + cc * gs)
+            fval_keep = c + 0.5 * (
+                gi * ofst_i + gj * ofst_j + gs * ofst_s
+            )
+            # The dense Taylor/edge planes are NOT stored: the
+            # iteration-1 values every candidate needs are harvested at
+            # the compacted slots below, and the few candidates that
+            # MOVE (~150/frame) re-derive their Taylor step from
+            # 19-point DoG gathers in the XLA tail — dropping the packed
+            # [S-2, 4, Ht, Wp] + edge plane stores cut 13 full-tile
+            # stores per scale and ~63 MB/frame of HBM write traffic at
+            # octave 0.
 
-        # -- IPOL edge-response acceptance (dense_edge_ok) ---------------
-        edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
-        edge_ok = jnp.abs(edge_resp) <= edge_bound
+            # -- IPOL edge-response acceptance (dense_edge_ok) ----------
+            edge_resp = (hii + hjj) ** 2 / (hii * hjj - hij * hij)
+            edge_ok = jnp.abs(edge_resp) <= edge_bound
 
         # -- in-VMEM per-row candidate compaction -----------------------
         # Rank every soft extremum within its row (lane prefix sum; no
@@ -278,26 +285,32 @@ def _detect_kernel(
         bc = csum[:, w_pad - 1 : w_pad]  # [tile_h, 1] per-row count
         # Column index and edge flag share ONE pick: bit 13 of the
         # harvested word is the edge acceptance (w_pad < 8192 always —
-        # checked by the wrapper), unpacked by the caller.
-        colpk = gc | jnp.where(edge_ok, 1 << 13, 0)
+        # checked by the wrapper), unpacked by the caller. The lean
+        # variant packs no edge bit (the tail recomputes it).
+        if emit_fields:
+            colpk = gc | jnp.where(edge_ok, 1 << 13, 0)
+        else:
+            colpk = gc
         cols, vois, vojs, voss, vvals = [], [], [], [], []
         for sl in range(slots):
             hit = soft & (csum == sl + 1)           # one-hot row (or empty)
-            pick = lambda pl: jnp.sum(
-                jnp.where(hit, pl, 0.0), axis=1, keepdims=True
-            )
             cols.append(
                 jnp.max(jnp.where(hit, colpk, 0), axis=1, keepdims=True)
             )
-            vois.append(pick(ofst_i))
-            vojs.append(pick(ofst_j))
-            voss.append(pick(ofst_s))
-            vvals.append(pick(fval_keep))
+            if emit_fields:
+                pick = lambda pl: jnp.sum(
+                    jnp.where(hit, pl, 0.0), axis=1, keepdims=True
+                )
+                vois.append(pick(ofst_i))
+                vojs.append(pick(ofst_j))
+                voss.append(pick(ofst_s))
+                vvals.append(pick(fval_keep))
         cand_ref[0, s - 1] = jnp.concatenate(cols, axis=1)
-        c_oi_ref[0, s - 1] = jnp.concatenate(vois, axis=1)
-        c_oj_ref[0, s - 1] = jnp.concatenate(vojs, axis=1)
-        c_os_ref[0, s - 1] = jnp.concatenate(voss, axis=1)
-        c_val_ref[0, s - 1] = jnp.concatenate(vvals, axis=1)
+        if emit_fields:
+            c_oi_ref[0, s - 1] = jnp.concatenate(vois, axis=1)
+            c_oj_ref[0, s - 1] = jnp.concatenate(vojs, axis=1)
+            c_os_ref[0, s - 1] = jnp.concatenate(voss, axis=1)
+            c_val_ref[0, s - 1] = jnp.concatenate(vvals, axis=1)
         ok_ref[0, s - 1] = (
             bc > jax.lax.broadcasted_iota(jnp.int32, (tile_h, slots), 1)
         ).astype(jnp.int8)
@@ -313,7 +326,7 @@ def _detect_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("soft_threshold", "edge_threshold", "tile_h", "slots",
-                     "interpret"),
+                     "interpret", "emit_fields"),
 )
 def detect_candidates_pallas(
     dog: jnp.ndarray,
@@ -322,6 +335,7 @@ def detect_candidates_pallas(
     tile_h: int = 128,
     slots: int = 6,
     interpret: bool = False,
+    emit_fields: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     """[B, S, H, W] DoG -> fused detection with in-kernel compaction.
 
@@ -343,9 +357,18 @@ def detect_candidates_pallas(
 
     No dense planes are emitted: candidates that MOVE during the
     refinement walk re-derive their Taylor step / edge test from
-    27-point DoG gathers in the tail (movers are ~0.3%% of slot lanes;
+    19-point DoG gathers in the tail (movers are ~0.3%% of slot lanes;
     the dense [S-2, 4, Ht, Wp] plane stores this replaces were 13
     full-tile stores per scale and ~63 MB/frame of HBM writes).
+
+    ``emit_fields=False`` selects the LEAN variant: the kernel returns
+    only ``(cand_col, slot_ok, n_raw, n_soft, n_row_dropped)`` — no
+    Taylor fields, no edge bit. The tail then derives iteration-1
+    Taylor/edge for ALL (compacted) candidates from one 19-point DoG
+    gather (sift/detect.py _tail_all_octaves with lean kernel outputs).
+    This removes the kernel's per-slot field harvesting — 24 of its 36
+    full-tile masked reduces per scale, its dominant vector cost — plus
+    the whole dense Taylor/edge computation.
     """
     b, s_dim, h, w = dog.shape
     n_scales = s_dim - 2
@@ -378,10 +401,18 @@ def detect_candidates_pallas(
     )
     scalar_shape = jax.ShapeDtypeStruct((b, n_tiles, 1, 1), jnp.int32)
 
-    (
-        cand, ok, c_oi, c_oj, c_os, c_val,
-        rawc, softc, dropc,
-    ) = pl.pallas_call(
+    n_field_planes = 4 if emit_fields else 0
+    out_specs = (
+        (plane(slots), plane(slots))
+        + (plane(slots),) * n_field_planes
+        + (scalar_spec, scalar_spec, scalar_spec)
+    )
+    out_shape = (
+        (pshape(jnp.int32, slots), pshape(jnp.int8, slots))
+        + (pshape(jnp.float32, slots),) * n_field_planes
+        + (scalar_shape, scalar_shape, scalar_shape)
+    )
+    outs = pl.pallas_call(
         functools.partial(
             _detect_kernel,
             n_scales=n_scales,
@@ -392,31 +423,12 @@ def detect_candidates_pallas(
             soft_threshold=soft_threshold,
             edge_bound=edge_bound,
             slots=slots,
+            emit_fields=emit_fields,
         ),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            plane(slots),
-            plane(slots),
-            plane(slots),
-            plane(slots),
-            plane(slots),
-            plane(slots),
-            scalar_spec,
-            scalar_spec,
-            scalar_spec,
-        ),
-        out_shape=(
-            pshape(jnp.int32, slots),
-            pshape(jnp.int8, slots),
-            pshape(jnp.float32, slots),
-            pshape(jnp.float32, slots),
-            pshape(jnp.float32, slots),
-            pshape(jnp.float32, slots),
-            scalar_shape,
-            scalar_shape,
-            scalar_shape,
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, s_dim, tile_h + 8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -427,11 +439,21 @@ def detect_candidates_pallas(
         interpret=interpret,
     )(x)
 
+    if emit_fields:
+        cand, ok, c_oi, c_oj, c_os, c_val, rawc, softc, dropc = outs
+        return (
+            cand & ((1 << 13) - 1),
+            ok.astype(bool),
+            (c_oi, c_oj, c_os, c_val),
+            (cand >> 13).astype(bool),
+            jnp.sum(rawc, axis=(1, 2, 3)),
+            jnp.sum(softc, axis=(1, 2, 3)),
+            jnp.sum(dropc, axis=(1, 2, 3)),
+        )
+    cand, ok, rawc, softc, dropc = outs
     return (
-        cand & ((1 << 13) - 1),
+        cand,
         ok.astype(bool),
-        (c_oi, c_oj, c_os, c_val),
-        (cand >> 13).astype(bool),
         jnp.sum(rawc, axis=(1, 2, 3)),
         jnp.sum(softc, axis=(1, 2, 3)),
         jnp.sum(dropc, axis=(1, 2, 3)),

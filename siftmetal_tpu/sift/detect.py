@@ -939,6 +939,7 @@ def detect_all_octaves_batch(
             detect_candidates_pallas(
                 dog, 0.8 * config.dog_threshold, config.edge_threshold,
                 tile_h=_detect_tile_h(h),
+                emit_fields=config.detect_slot_fields,
             )
         )
         shapes.append((h, w))
@@ -965,6 +966,8 @@ def _tail_all_octaves(
     ratio = 2.0 ** (1.0 / config.n_scales_per_octave)
     n_oct = len(outs)
 
+    lean = not config.detect_slot_fields
+
     seg = []          # per-octave lane counts
     s_c, i_c, j_c, ok_c = [], [], [], []
     oi_c, oj_c, os_c, val_c, edge_c = [], [], [], [], []
@@ -976,22 +979,46 @@ def _tail_all_octaves(
     drops = jnp.int32(0)
     doff = 0
     n_sig = None
-    for o, (cand_col, slot_ok, cand_fields, cand_edge,
-            ne, ns, rd) in enumerate(outs):
+    for o, out_o in enumerate(outs):
+        if lean:
+            cand_col, slot_ok, ne, ns, rd = out_o
+            cand_fields = cand_edge = None
+        else:
+            (cand_col, slot_ok, cand_fields, cand_edge,
+             ne, ns, rd) = out_o
         n_sc, ht, slots = cand_col.shape
         m_o = n_sc * ht * slots
-        seg.append(m_o)
         lane = jnp.arange(m_o, dtype=jnp.int32)
-        s_c.append(lane // (ht * slots) + 1)
-        i_c.append((lane % (ht * slots)) // slots + 1)
-        j_c.append(cand_col.reshape(-1) + 1)
-        ok_c.append(slot_ok.reshape(-1))
-        c_oi, c_oj, c_os, c_val = cand_fields
-        oi_c.append(c_oi.reshape(-1))
-        oj_c.append(c_oj.reshape(-1))
-        os_c.append(c_os.reshape(-1))
-        val_c.append(c_val.reshape(-1))
-        edge_c.append(cand_edge.reshape(-1))
+        s_l = lane // (ht * slots) + 1
+        i_l = (lane % (ht * slots)) // slots + 1
+        j_l = cand_col.reshape(-1) + 1
+        ok_l = slot_ok.reshape(-1)
+        if lean:
+            # Compact the slot grid to the per-octave candidate budget
+            # BEFORE any per-lane work: the tail then runs on ~4x fewer
+            # lanes, and the 19-point gather below derives iteration-1
+            # Taylor/edge only at live candidates. Overflow is counted.
+            k_o = extrema_candidate_budget(config, shapes[o])
+            order_o, n_k, c_drop = compact_indices(ok_l, k_o)
+            kvalid = jnp.arange(k_o) < n_k
+            s_l = jnp.where(kvalid, s_l[order_o], 1)
+            i_l = jnp.where(kvalid, i_l[order_o], 1)
+            j_l = jnp.where(kvalid, j_l[order_o], 1)
+            ok_l = kvalid
+            m_o = k_o
+            drops = drops + c_drop
+        seg.append(m_o)
+        s_c.append(s_l)
+        i_c.append(i_l)
+        j_c.append(j_l)
+        ok_c.append(ok_l)
+        if not lean:
+            c_oi, c_oj, c_os, c_val = cand_fields
+            oi_c.append(c_oi.reshape(-1))
+            oj_c.append(c_oj.reshape(-1))
+            os_c.append(c_os.reshape(-1))
+            val_c.append(c_val.reshape(-1))
+            edge_c.append(cand_edge.reshape(-1))
         h, w = shapes[o]
         delta = config.octave_delta(o)
         sigmas = config.octave_sigmas(o)
@@ -1015,8 +1042,6 @@ def _tail_all_octaves(
     i_idx = cat(i_c)
     j_idx = cat(j_c)
     ok = cat(ok_c)
-    oi1, oj1, os1, val1 = cat(oi_c), cat(oj_c), cat(os_c), cat(val_c)
-    edge1 = cat(edge_c)
     delta_l = cat(delta_c)
     sgo_l = cat(sgo_c)
     h_l = cat(h_c)
@@ -1024,6 +1049,33 @@ def _tail_all_octaves(
     oct_l = cat(oct_c)
     sig_table = cat(sig_rows)
     n_sc_int = outs[0][0].shape[0]
+
+    # All octaves' DoG stacks flattened into one array (used by the
+    # lean iteration-1 gather and by the mover walk).
+    dog_all = cat(dog_parts)
+    dbase_l = jnp.asarray(dbase, jnp.int32)[oct_l]
+
+    if lean:
+        # Iteration-1 Taylor step + edge test for every compacted
+        # candidate: ONE flat 19-point stencil gather (per-lane strides;
+        # octave shapes differ), exactly the mover walk's lookup.
+        hw_l = h_l * w_l
+
+        def gather_all(offs, s, i, j):
+            base = dbase_l + (s * h_l + i) * w_l + j
+            idx = jnp.concatenate(
+                [base + dsd * hw_l + did * w_l + djd
+                 for dsd, did, djd in offs]
+            )
+            return dog_all[idx].reshape(len(offs), -1)
+
+        oi1, oj1, os1, val1, edge1 = _taylor_from_stencil(
+            gather_all(_OFFS19, s_idx, i_idx, j_idx),
+            config.edge_threshold,
+        )
+    else:
+        oi1, oj1, os1, val1 = cat(oi_c), cat(oj_c), cat(os_c), cat(val_c)
+        edge1 = cat(edge_c)
 
     def accept(cand_valid, s_f, i_f, j_f, conv, oi, oj, os_, val,
                edge_ok, dlt, sgo, hh, ww):
@@ -1073,15 +1125,13 @@ def _tail_all_octaves(
     mv_valid = jnp.arange(k_move) < n_mov
 
     oct_mv = oct_l[order]
-    dbase_mv = jnp.asarray(dbase, jnp.int32)[oct_mv]
+    dbase_mv = dbase_l[order]
     h_mv = h_l[order]
     w_mv = w_l[order]
 
-    # All octaves' DoG stacks flattened into one array: movers walk with
-    # ONE [19*k] stencil gather per iteration, re-deriving the Taylor
-    # step from the raw neighborhood (per-lane strides — octave shapes
-    # differ).
-    dog_all = cat(dog_parts)
+    # Movers walk with ONE [19*k] stencil gather per iteration,
+    # re-deriving the Taylor step from the raw neighborhood (per-lane
+    # strides — octave shapes differ).
     hw_mv = h_mv * w_mv
 
     def gather(offs, s, i, j):
