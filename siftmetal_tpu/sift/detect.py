@@ -174,6 +174,26 @@ def mover_budget(config: SiftConfig, shape: Tuple[int, int]) -> int:
     return max(192, extrema_candidate_budget(config, shape) // 24)
 
 
+def mover_budget_all(
+    config: SiftConfig, shapes: Sequence[Tuple[int, int]]
+) -> int:
+    """Shared mover budget for the CROSS-OCTAVE fused tail
+    (_tail_all_octaves), which walks every octave's movers in ONE block.
+
+    Sizing this from octave 0 alone (the r3 scheme) under-budgets the
+    multi-octave demand: measured on the butterfly fixture (1024x680
+    seed), total demand is 603 movers vs the octave-0 rule's 384 — the
+    374 overflow drops rejected exactly the mover population and broke
+    IPOL stage parity ON HARDWARE (the CPU suite runs the per-octave
+    path and never sees the shared block). Natural-image movers are
+    ~25-30%% of soft extrema — far above the noise-frame estimate the
+    //24 rule encoded — so the shared rule doubles the per-area ratio
+    and sums over octaves. Demand is driver-visible as
+    counters['n_movers']; overflow stays counted, never silent."""
+    total = sum(extrema_candidate_budget(config, s) for s in shapes)
+    return (max(256, total // 12) + 127) // 128 * 128
+
+
 def masked_nonzero(
     mask: jnp.ndarray, size: int, block: int = 256, slots: int = 8
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -705,12 +725,17 @@ def _octave_tail_slots(
         (os1 < -mo) & (s_idx - 1 >= 1), -1, 0
     )
     move = ok & ~conv1
-    # masked_nonzero, not compact_indices: the latter's cumsum+scatter
-    # over all m slot lanes costs ~1 ms/frame batched (fixed in m, not
-    # in the live mover count); the blocked rank arithmetic only
-    # scatters the [m/block, slots] survivors. Movers are ~0.3% of
-    # lanes, far under the block-slot density budget (overflow counted).
-    order, n_mov, mov_drop = masked_nonzero(move, k_move)
+    # masked_nonzero at a WIDENED density budget (16 hits per 128 lanes
+    # = 12.5%, vs the default 8/256 = 3.1%): natural-image movers
+    # CLUSTER on textured rows, and the default budget dropped 113
+    # butterfly movers — enough to break IPOL stage parity on hardware.
+    # Exact compact_indices over all m slot lanes costs ~1 ms/frame
+    # batched (measured again r4: 158 -> 135 fps); the widened blocked
+    # form keeps the rank arithmetic cheap and any residual cluster
+    # overflow stays counted in the parity-visible counters.
+    order, n_mov, mov_drop = masked_nonzero(
+        move, k_move, block=128, slots=16
+    )
     mv_valid = jnp.arange(k_move) < n_mov
 
     def lookup(s, i, j):
@@ -750,6 +775,7 @@ def _octave_tail_slots(
         )
         for key in ctr_g
     }
+    counters["n_movers"] = n_mov + mov_drop
     return kp, counters
 
 
@@ -943,7 +969,7 @@ def detect_all_octaves_batch(
             )
         )
         shapes.append((h, w))
-    k_move = mover_budget(config, shapes[0])
+    k_move = mover_budget_all(config, shapes)
 
     kp_list, counters = jax.vmap(
         lambda outs_f, dogs_f: _tail_all_octaves(
@@ -1121,50 +1147,86 @@ def _tail_all_octaves(
         (os1 < -mo) & (s_idx - 1 >= 1), -1, 0
     )
     move = ok & ~conv1
-    order, n_mov, mov_drop = masked_nonzero(move, k_move)
+    # Exact compaction (movers CLUSTER — masked_nonzero's block-slot
+    # density budget dropped 113 butterfly movers and broke hardware
+    # parity; measured r4: compact_indices here is also ~4% faster than
+    # a widened 16/128 masked_nonzero at this m).
+    order, n_mov, mov_drop = compact_indices(move, k_move)
     mv_valid = jnp.arange(k_move) < n_mov
 
-    oct_mv = oct_l[order]
-    dbase_mv = dbase_l[order]
-    h_mv = h_l[order]
-    w_mv = w_l[order]
+    s0_all = jnp.where(mv_valid, (s_idx + ds)[order], 1)
+    i0_all = jnp.where(mv_valid, (i_idx + di)[order], 1)
+    j0_all = jnp.where(mv_valid, (j_idx + dj)[order], 1)
 
-    # Movers walk with ONE [19*k] stencil gather per iteration,
-    # re-deriving the Taylor step from the raw neighborhood (per-lane
-    # strides — octave shapes differ).
-    hw_mv = h_mv * w_mv
+    def walk(sl):
+        """Refinement walk over one slice of the mover block. The walk's
+        per-iteration stencil gather costs scale with the SLICE SIZE
+        (~0.6 us per lane per 19-point gather), not the live mover
+        count."""
+        order_s = order[sl]
+        valid_s = mv_valid[sl]
+        h_s = h_l[order_s]
+        w_s = w_l[order_s]
+        dbase_s = dbase_l[order_s]
+        hw_s = h_s * w_s
 
-    def gather(offs, s, i, j):
-        base = dbase_mv + (s * h_mv + i) * w_mv + j
-        idx = jnp.concatenate(
-            [base + dsd * hw_mv + did * w_mv + djd
-             for dsd, did, djd in offs]
-        )
-        return dog_all[idx].reshape(len(offs), -1)
+        def gather(offs, s, i, j):
+            base = dbase_s + (s * h_s + i) * w_s + j
+            idx = jnp.concatenate(
+                [base + dsd * hw_s + did * w_s + djd
+                 for dsd, did, djd in offs]
+            )
+            return dog_all[idx].reshape(len(offs), -1)
 
-    def lookup(s, i, j):
-        return _taylor_from_stencil(
-            gather(_OFFS19, s, i, j), config.edge_threshold
-        )
+        def lookup(s, i, j):
+            return _taylor_from_stencil(
+                gather(_OFFS19, s, i, j), config.edge_threshold
+            )
 
-    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m, edge_m = (
-        _refine_batched(
+        return _refine_batched(
             lookup,
             n_sc_int,
-            jnp.where(mv_valid, (s_idx + ds)[order], 1),
-            jnp.where(mv_valid, (i_idx + di)[order], 1),
-            jnp.where(mv_valid, (j_idx + dj)[order], 1),
-            h_mv,
-            w_mv,
+            s0_all[sl],
+            i0_all[sl],
+            j0_all[sl],
+            h_s,
+            w_s,
             max_iterations=config.max_interpolation_iterations - 1,
             max_offset=config.max_interpolation_offset,
-            active0=mv_valid,
+            active0=valid_s,
         )
-    )
+
+    # Two-tier walk: tier A (the octave-0-rule budget — covers typical
+    # demand: noise frames measured 107-136 movers, the walk cost that
+    # set the r3 throughput) always runs; the overflow tier B (the rest
+    # of the parity-sized block, used by detection-dense natural images
+    # like the butterfly fixture's 603 movers) runs under a lax.cond
+    # and is SKIPPED — no gathers issued — whenever demand fits tier A.
+    k1 = min(k_move, mover_budget(config, shapes[0]))
+    res_a = walk(slice(0, k1))
+    if k_move > k1:
+        k2 = k_move - k1
+
+        def run_b(_):
+            return walk(slice(k1, k_move))
+
+        def skip_b(_):
+            zf = jnp.zeros((k2,), jnp.float32)
+            zi = jnp.ones((k2,), jnp.int32)
+            zb = jnp.zeros((k2,), bool)
+            return (zi, zi, zi, zb, zf, zf, zf, zf, zb)
+
+        res_b = lax.cond(n_mov > k1, run_b, skip_b, operand=None)
+        res = tuple(
+            jnp.concatenate([a, b], axis=0) for a, b in zip(res_a, res_b)
+        )
+    else:
+        res = res_a
+    s_m, i_m, j_m, conv_m, oi_m, oj_m, os_m, val_m, edge_m = res
 
     kp_m = accept(
         mv_valid, s_m, i_m, j_m, conv_m & mv_valid, oi_m, oj_m, os_m,
-        val_m, edge_m, delta_l[order], sgo_l[order], h_mv, w_mv,
+        val_m, edge_m, delta_l[order], sgo_l[order], h_l[order], w_l[order],
     )
 
     counters = {
@@ -1179,13 +1241,17 @@ def _tail_all_octaves(
         "n_border": jnp.sum(kp_g.pass_border.astype(jnp.int32))
         + jnp.sum(kp_m.pass_border.astype(jnp.int32)),
         "overflow": drops + mov_drop,
+        # Total mover DEMAND (live + dropped): the driver-visible signal
+        # that the shared mover block is (under)sized. Parity requires
+        # n_movers <= k_move; see mover_budget_all.
+        "n_movers": n_mov + mov_drop,
     }
 
     # --- re-split per octave: grid segment + octave-masked mover block
     kp_list = []
     start = 0
     for o, m_o in enumerate(seg):
-        in_oct = mv_valid & (oct_mv == o)
+        in_oct = mv_valid & (oct_l[order] == o)
         kp_m_o = kp_m._replace(
             cand_valid=kp_m.cand_valid & in_oct,
             converged=kp_m.converged & in_oct,
