@@ -316,6 +316,38 @@ def _packed_window(
     return acc
 
 
+def _entry_matrix_reduce(rows, w_seg, k_used):
+    """Finish every entry's LANE reduction with one MXU contraction.
+
+    ``rows`` are the per-entry sublane-reduced [1, 128] partials. The
+    straightforward ending — a 7-op roll/add lane tree per entry — costs
+    ``7 * n_entries`` serial VPU ops per lane (896 for the descriptor's
+    128 entries, the kernel's largest single cost). Stacking the rows
+    into M [E, 128] and contracting lane-against-lane with a STATIC 0/1
+    segment-selection matrix S[s, l] = (l // w_seg == s) computes every
+    per-segment lane sum in ONE dot_general — and lands segment s's
+    results in SUBLANE s, so the final packed-segment combine is
+    ``k_used - 1`` row adds and the output is already a [1, E] row.
+    """
+    e = len(rows)
+    ep = (e + 7) // 8 * 8
+    if ep > e:
+        rows = rows + [jnp.zeros((1, 128), jnp.float32)] * (ep - e)
+    m = jnp.concatenate(rows, axis=0)                       # [ep, 128]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    s_t = (lane // w_seg == sub).astype(jnp.float32)        # [s, l]
+    t = jax.lax.dot_general(
+        s_t, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                       # [8, ep]
+    res = t[0:1]
+    for s in range(1, k_used):
+        res = res + t[s:s + 1]
+    return res, ep                                          # [1, ep]
+
+
 def _packed_coords(w_seg, p_rows):
     """Patch-pixel (row, col) index maps of the packed [p_rows, 128]
     layout, as float32 [p_rows, 128] iota combinations."""
@@ -339,7 +371,7 @@ def _descriptor_kernel(
     # scratch
     pg, sems,
     *,
-    geoms, n_hist, n_ori, lam,
+    geoms, n_hist, n_ori, lam, mxu_reduce,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -446,10 +478,6 @@ def _descriptor_kernel(
                         )
                     )
 
-                # 16x8 full-map masked reductions. A per-row MXU
-                # dot_general rewrite (_descriptor_entries_mxu) measured
-                # SLOWER on v5e — see its docstring; keepdims sums +
-                # concats compile to clean VPU reduction trees.
                 wa_maps = []
                 wb_maps = []
                 for a in range(n_hist):
@@ -464,18 +492,49 @@ def _descriptor_kernel(
                 # (n_hist^2 * n_ori = 128): 16x less store/output
                 # traffic than a rows-with-8-used layout, and downstream
                 # reads it without reshaping.
-                entries = []
-                for a in range(n_hist):
-                    for b in range(n_hist):
-                        ab_map = wa_maps[a] * wb_maps[b]
-                        for k in range(n_ori):
-                            entries.append(
-                                jnp.sum(ab_map * wo_maps[k], keepdims=True)
-                            )
-                pad_w = 128 - n_hist * n_hist * n_ori
-                if pad_w > 0:
-                    entries.append(jnp.zeros((1, pad_w), jnp.float32))
-                out_ref[u:u + 1, :] = jnp.concatenate(entries, axis=1)
+                if mxu_reduce:
+                    # Sublane-reduce each entry on the VPU; ONE MXU
+                    # contraction replaces all 128 lane trees (see
+                    # _entry_matrix_reduce). An earlier full-MXU rewrite
+                    # that materialized [E, px] weight matrices per lane
+                    # measured SLOWER — this hybrid keeps the cheap tent
+                    # products on the VPU and spends the MXU only on the
+                    # reduction it is shaped for.
+                    rows = []
+                    for a in range(n_hist):
+                        for b in range(n_hist):
+                            ab_map = wa_maps[a] * wb_maps[b]
+                            for k in range(n_ori):
+                                rows.append(
+                                    jnp.sum(
+                                        ab_map * wo_maps[k],
+                                        axis=0, keepdims=True,
+                                    )
+                                )
+                    res, ep = _entry_matrix_reduce(rows, w_seg, k_used)
+                    if ep < 128:
+                        res = jnp.concatenate(
+                            [res, jnp.zeros((1, 128 - ep), jnp.float32)],
+                            axis=1,
+                        )
+                    out_ref[u:u + 1, :] = res
+                else:
+                    # 16x8 full-map masked reductions: keepdims sums +
+                    # concats compile to clean VPU reduction trees.
+                    entries = []
+                    for a in range(n_hist):
+                        for b in range(n_hist):
+                            ab_map = wa_maps[a] * wb_maps[b]
+                            for k in range(n_ori):
+                                entries.append(
+                                    jnp.sum(
+                                        ab_map * wo_maps[k], keepdims=True
+                                    )
+                                )
+                    pad_w = 128 - n_hist * n_hist * n_ori
+                    if pad_w > 0:
+                        entries.append(jnp.zeros((1, pad_w), jnp.float32))
+                    out_ref[u:u + 1, :] = jnp.concatenate(entries, axis=1)
 
 
 def descriptor_lanes_pallas(
@@ -563,6 +622,7 @@ def descriptor_lanes_pallas(
             n_hist=config.n_histograms_per_axis,
             n_ori=config.n_descriptor_bins,
             lam=config.descriptor_lambda,
+            mxu_reduce=config.use_patch_mxu_reduce,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
@@ -583,7 +643,7 @@ def _orientation_kernel(
     out_ref,
     pg, sems,
     *,
-    geoms, n_bins, lam,
+    geoms, n_bins, lam, mxu_reduce,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -665,21 +725,38 @@ def _orientation_kernel(
                 b = jnp.mod(jnp.round(thetab), float(n_bins))
 
                 # n_bins one-hot-masked full-map sums -> one [1, n] row.
-                # (A per-row one-hot dot_general variant measured NO
-                # faster on v5e — the [nb, 128] one-hot build plus the
-                # contraction's operand handling eat the reduce savings;
-                # the descriptor kernel's MXU rewrite pays off because
-                # its tent weights are arithmetic, not comparisons.)
-                entries = [
-                    jnp.sum(jnp.where(b == float(k), w, 0.0), keepdims=True)
-                    for k in range(n_bins)
-                ]
-                hist = jnp.concatenate(entries, axis=1)
-                padded = jnp.concatenate(
-                    [hist, jnp.zeros((1, 128 - n_bins), jnp.float32)],
-                    axis=1,
-                )
-                out_ref[u:u + 1, :] = padded
+                if mxu_reduce:
+                    # Sublane-reduce per bin on the VPU, finish every
+                    # lane reduction with one MXU contraction (see
+                    # _entry_matrix_reduce). Distinct from the earlier
+                    # one-hot dot_general experiment that built [nb,
+                    # 128] one-hot matrices per lane and measured no
+                    # faster — here the masked products stay on the VPU.
+                    rows = [
+                        jnp.sum(
+                            jnp.where(b == float(k), w, 0.0),
+                            axis=0, keepdims=True,
+                        )
+                        for k in range(n_bins)
+                    ]
+                    hist, ep = _entry_matrix_reduce(rows, w_seg, k_used)
+                    out_ref[u:u + 1, :] = jnp.concatenate(
+                        [hist, jnp.zeros((1, 128 - ep), jnp.float32)],
+                        axis=1,
+                    )
+                else:
+                    entries = [
+                        jnp.sum(
+                            jnp.where(b == float(k), w, 0.0), keepdims=True
+                        )
+                        for k in range(n_bins)
+                    ]
+                    hist = jnp.concatenate(entries, axis=1)
+                    padded = jnp.concatenate(
+                        [hist, jnp.zeros((1, 128 - n_bins), jnp.float32)],
+                        axis=1,
+                    )
+                    out_ref[u:u + 1, :] = padded
 
 
 def orientation_hist_lanes_pallas(
@@ -750,6 +827,7 @@ def orientation_hist_lanes_pallas(
             geoms=geoms,
             n_bins=config.n_orientation_bins,
             lam=config.orientation_lambda,
+            mxu_reduce=config.use_patch_mxu_reduce,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),

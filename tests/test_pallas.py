@@ -115,6 +115,56 @@ def test_patch_kernels_match_xla_describe():
     assert np.all(raw_cnt[:8] == 0.0)
 
 
+def test_patch_kernels_mxu_reduce_equivalent():
+    """use_patch_mxu_reduce (one MXU contraction finishing every entry's
+    lane reduction, patches._entry_matrix_reduce) must reproduce the
+    VPU lane-tree path on both patch kernels, across radius buckets and
+    ragged validity."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.patches import (
+        descriptor_lanes_pallas,
+        orientation_hist_lanes_pallas,
+        prepare_patch_fields,
+    )
+
+    cfg0 = SiftConfig(use_patch_mxu_reduce=False)
+    cfg1 = SiftConfig(use_patch_mxu_reduce=True)
+    rng = np.random.default_rng(11)
+    s = cfg0.n_gaussians_per_octave
+    h, w = 96, 160
+    gauss = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
+    fields = prepare_patch_fields(gauss, cfg0)
+
+    L = 24
+    scale = jnp.asarray(
+        rng.integers(1, cfg0.n_scales_per_octave + 1, L).astype(np.int32)
+    )
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
+    # Spread sigmas so every radius bucket (fine/mid/max) is hit.
+    sig = jnp.asarray(rng.uniform(0.9, 3.6, L).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, L).astype(np.float32))
+    valid = jnp.asarray(rng.random(L) > 0.25)
+
+    a0 = np.asarray(descriptor_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, theta, cfg0,
+        valid=valid, interpret=True,
+    ))
+    a1 = np.asarray(descriptor_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, theta, cfg1,
+        valid=valid, interpret=True,
+    ))
+    np.testing.assert_allclose(a0, a1, rtol=2e-5, atol=2e-5)
+
+    h0 = np.asarray(orientation_hist_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg0, valid=valid, interpret=True,
+    ))
+    h1 = np.asarray(orientation_hist_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg1, valid=valid, interpret=True,
+    ))
+    np.testing.assert_allclose(h0, h1, rtol=2e-5, atol=2e-5)
+
+
 def test_patch_kernels_batched_frames():
     """Batched fields ([B, S, H, W] + per-lane frame index) must match
     per-frame calls."""
