@@ -280,6 +280,93 @@ def blur_mxu_banded(
 
 
 @functools.lru_cache(maxsize=None)
+def _band_conv_kernel(sigma: float) -> "np.ndarray":
+    """[3, 128, 128] tile-conv kernel for a 1-D Gaussian pass over a
+    128-zero-prefixed, reflection-prefilled input (see blur_mxu_conv):
+    K[dt, u, v] couples input tile t+dt lane u to output tile t+1's
+    lane v. Shift-invariant in t, so ONE kernel serves every tile — the
+    banded matmul as a 128-feature conv the MXU runs directly, with no
+    overlapping-window materialization in HBM."""
+    taps = gaussian_taps(sigma).astype(np.float64)
+    r = len(taps) // 2
+    assert r <= 64, r
+    k = np.zeros((3, 128, 128), np.float64)
+    for dt in range(3):
+        for v in range(128):
+            for d in range(-r, r + 1):
+                u = 128 * (1 - dt) + v + d
+                if 0 <= u < 128:
+                    k[dt, u, v] += taps[d + r]
+    return k.astype(np.float32)
+
+
+def _conv_pass_last(x: jnp.ndarray, sigma: float, prec) -> jnp.ndarray:
+    """One Gaussian pass along the LAST axis as a 128-feature tile conv
+    (see _band_conv_kernel). ``x`` is [..., n]; boundary handling is the
+    same half-sample reflection as blur/_band_matrix, realized by
+    prefilling the 128-col zero prefix with the reflected edge."""
+    taps = gaussian_taps(sigma)
+    r = len(taps) // 2
+    n = x.shape[-1]
+    n_t = (n + 127) // 128
+    lead = x.shape[:-1]
+    # [.., 128 zero/reflect prefix | x | right reflect + zero pad]
+    left = x[..., :r][..., ::-1]
+    right = x[..., n - r:][..., ::-1]
+    xp = jnp.concatenate(
+        [
+            jnp.zeros(lead + (128 - r,), x.dtype),
+            left,
+            x,
+            right,
+            jnp.zeros(lead + (128 * (n_t + 1) - n - r,), x.dtype),
+        ],
+        axis=-1,
+    ).reshape(lead + (n_t + 2, 128))
+    kern = jnp.asarray(_band_conv_kernel(float(sigma)))
+    flat = xp.reshape((-1, n_t + 2, 128))
+    out = jax.lax.conv_general_dilated(
+        flat,
+        kern,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(lead + (n_t * 128,))[..., :n]
+
+
+def blur_mxu_conv(
+    image: jnp.ndarray, sigma: float, out_dtype=None, precision="highest"
+) -> jnp.ndarray:
+    """Separable Gaussian blur with BOTH 1-D passes as 128-feature tile
+    convs on the MXU (X directly; Y via transpose). Same numerics
+    contract as blur_mxu_banded; unlike it, no overlapping 256-column
+    window stacks are materialized in HBM — the conv reads each input
+    element once."""
+    if sigma <= 0.0:
+        return image if out_dtype is None else image.astype(out_dtype)
+    if out_dtype is None:
+        out_dtype = image.dtype
+    prec = (
+        None
+        if image.dtype == jnp.bfloat16
+        else (
+            lax.Precision.HIGH
+            if precision == "high"
+            else lax.Precision.HIGHEST
+        )
+    )
+    x = _conv_pass_last(image, sigma, prec)
+    x = jnp.swapaxes(x, -1, -2)
+    if image.dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    y = _conv_pass_last(x, sigma, prec)
+    return jnp.swapaxes(y, -1, -2).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
 def _upsample_blur_matrix(sigma: float, n: int) -> "np.ndarray":
     """[2n, n] matrix = Gaussian band (at 2n) COMPOSED with IPOL 2x
     bilinear upsampling — the seed stage's upsample+blur collapses to

@@ -125,8 +125,11 @@ def _window_geometry(r: int) -> Tuple[int, int, int]:
 
 
 def _desc_geometry(config: SiftConfig) -> Tuple[int, int]:
-    rows, cols, _ = _window_geometry(config.desc_patch_radius)
-    return rows, cols
+    """(max dma_rows, max dma_cols) over the DESCRIPTOR buckets — the
+    field padding (prepare_patch_fields rpad) must cover the widest
+    bucket window including the packed-layout + dynamic-slice slack."""
+    geoms = _bucket_geoms(_radius_buckets(config.desc_patch_radius))
+    return max(g[0] for g in geoms), max(g[1] for g in geoms)
 
 
 def _pack_geometry(r: int) -> Tuple[int, int, int]:
@@ -182,10 +185,17 @@ def _radius_buckets(max_radius: int) -> Tuple[int, ...]:
     the keypoint population is bottom-heavy (most detections at the
     finest scales: radius ~0.3-0.5x the max). 2-3 size buckets with
     per-lane routing cut the average window ~2x; lanes land in the
-    smallest bucket whose window holds their true patch."""
+    smallest bucket whose window holds their true patch.
+
+    The fine bucket is additionally CAPPED at radius 15: a 31-wide
+    patch fits a 32-lane segment, so _pack_geometry runs the whole
+    per-lane pipeline on ONE [8, 128] sublane-tile — at radius 16 the
+    33-wide patch spills to w_seg=64/[24, 128] (3 tiles), tripling the
+    per-entry product/reduce cost for the population that carries most
+    keypoints (sigma_oct <= ~1.37 at descriptor reach)."""
     if max_radius <= 16:
         return (max_radius,)
-    r1 = max(8, (2 * max_radius + 2) // 5)   # ~0.4x: the fine-scale bulk
+    r1 = max(8, min(15, (2 * max_radius + 2) // 5))
     r2 = (7 * max_radius + 9) // 10          # ~0.7x
     return (r1, r2, max_radius)
 
@@ -311,6 +321,52 @@ def _packed_window(
     for b in range(1, k_used):
         blk = pltpu.roll(
             x[b * p_rows:(b + 1) * p_rows, :128], b * w_seg, 1
+        )
+        acc = jnp.where(col // w_seg == b, blk, acc)
+    return acc
+
+
+def _packed_window_ref(
+    ref, shift_r, shift_c, dma_cols, w_seg, p_rows, k_used
+):
+    """:func:`_packed_window` without the dynamic-shift rolls — the
+    kernels' largest per-lane cost (two log-stage shift cascades over
+    the whole [dma_rows, dma_cols] window, ~0.3-0.4 us/lane measured).
+
+    MEASURED NEGATIVE on v5e (2026-08-20): 150.9 -> 138.3 fps full
+    pipeline — the per-lane [rows, 256] x [256, 128] selection matmul at
+    HIGHEST (6-pass) costs more than the dynamic roll cascade it
+    replaces (Mosaic lowers dynamic rolls with hardware lane-shift
+    support; they are NOT the log-stage software cascade this rewrite
+    assumed). Kept, unused, as the recorded experiment; requires
+    dma_rows >= p_rows * k_used + 8 (the 8-aligned load reads past the
+    row shift).
+
+    Mechanics: the COLUMN shift+slice becomes ONE MXU contraction
+    against a 0/1 shifted-selection matrix built from two iotas (exact:
+    f32 values times exactly-1.0 at HIGHEST precision); the sub-8 ROW
+    shift cannot be a load offset (Mosaic requires 8-aligned dynamic
+    sublane loads), so it remains a roll over the narrowed
+    [rows+8, 128] array."""
+    rows_need = p_rows * k_used
+    rows_l = rows_need + 8          # static 8-aligned load; the bucket
+    x = ref[pl.ds(0, rows_l), pl.ds(0, dma_cols)]  # DMA covers rows_l
+    src = jax.lax.broadcasted_iota(jnp.int32, (dma_cols, 128), 0)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (dma_cols, 128), 1)
+    sel = (src == dst + shift_c).astype(jnp.float32)
+    x = jax.lax.dot_general(
+        x, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                               # [rows_l, 128]
+    x = pltpu.roll(x, rows_l - shift_r, 0)
+    if w_seg == 128:
+        return x[:p_rows, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_rows, 128), 1)
+    acc = x[:p_rows, :]
+    for b in range(1, k_used):
+        blk = pltpu.roll(
+            x[b * p_rows:(b + 1) * p_rows, :], b * w_seg, 1
         )
         acc = jnp.where(col // w_seg == b, blk, acc)
     return acc

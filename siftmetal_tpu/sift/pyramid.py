@@ -21,11 +21,17 @@ from ..ops.image import decimate_2x, rgb_to_gray, upsample_bilinear_2x
 
 
 def _blur_fn(config: SiftConfig):
-    """Pick the blur backend: MXU banded-matmul on TPU (config gated),
-    VPU shift-add (the numeric reference) elsewhere."""
+    """Pick the blur backend: MXU tile-conv or banded-matmul on TPU
+    (config gated), VPU shift-add (the numeric reference) elsewhere."""
     if config.use_mxu_pyramid and jax.default_backend() == "tpu":
         import functools
 
+        if config.use_conv_blur:
+            from ..ops.gaussian import blur_mxu_conv
+
+            return functools.partial(
+                blur_mxu_conv, precision=config.mxu_blur_precision
+            )
         return functools.partial(
             blur_mxu_banded, precision=config.mxu_blur_precision
         )
