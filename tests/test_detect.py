@@ -122,3 +122,30 @@ def test_fast_preset_detects(butterfly):
     sig = np.asarray(kps.sigma)[v]
     assert sig.min() > 0.8
     assert int(np.asarray(descs.valid).sum()) >= n
+
+
+def test_shared_mover_budget_covers_measured_demand():
+    """The cross-octave fused tail walks ALL octaves' movers in one
+    block (detect.mover_budget_all). Regression guard for the r3->r4
+    hardware parity break: sized from octave 0 alone (384 lanes) the
+    block dropped 374 of the butterfly fixture's 603 movers and the
+    IPOL stage counts failed ON HARDWARE (the CPU suite runs the
+    per-octave path and cannot see it). Pin the rule's output against
+    the measured demands with headroom."""
+    from siftmetal_tpu.sift.detect import mover_budget_all
+
+    cfg = SiftConfig()
+
+    def shapes_for(h, w):
+        out = []
+        hh, ww = 2 * h, 2 * w  # delta_min=0.5 seed
+        for _ in range(cfg.num_octaves(h, w)):
+            out.append((hh, ww))
+            hh //= 2
+            ww //= 2
+        return out
+
+    # Butterfly fixture (512x340): measured demand 603 movers (v5e,
+    # 2026-08-20). Noise 640x480: measured 107-136.
+    assert mover_budget_all(cfg, shapes_for(340, 512)) >= int(603 * 1.2)
+    assert mover_budget_all(cfg, shapes_for(480, 640)) >= int(136 * 1.2)
