@@ -165,6 +165,7 @@ def test_patch_kernels_mxu_reduce_equivalent():
     np.testing.assert_allclose(h0, h1, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_patch_kernels_batched_frames():
     """Batched fields ([B, S, H, W] + per-lane frame index) must match
     per-frame calls."""
@@ -472,6 +473,7 @@ def test_detect_octave_slots_tail_matches_xla():
         assert accepted(kp_p, bb) == accepted(kp_r)
 
 
+@pytest.mark.slow
 def test_fused_orient_desc_matches_staged():
     """Fused orientation+descriptor kernel (interpret mode) vs the
     staged XLA chain (hist -> smooth -> peaks -> descriptors): the
@@ -658,6 +660,7 @@ def test_detect_all_octaves_fused_tail_matches_per_octave():
             )
 
 
+@pytest.mark.slow
 def test_patch_kernels_lane_chunking():
     """Lane sets past MAX_LANES_PER_CALL split into sequential kernel
     calls (per-call scalar prefetch must fit the 1 MB SMEM budget);
