@@ -93,13 +93,17 @@ def _step(g: PoseGraph, lam: jnp.ndarray) -> jnp.ndarray:
 
 
 def robust_edge_weights(
-    g: PoseGraph, huber_delta: float
+    g: PoseGraph, huber_delta
 ) -> jnp.ndarray:
     """IRLS Huber weights per edge: w = min(1, delta / ||r||).
 
     Applied ON TOP of the static edge weights so a bad measurement (e.g.
     a loop closure verified by an ill-conditioned PnP) is downweighted
-    instead of dragging the whole chain toward its wrong constraint."""
+    instead of dragging the whole chain toward its wrong constraint.
+    ``huber_delta`` may be a scalar or a per-edge [E] array — verified
+    loop-closure edges are typically passed jnp.inf (trusted: a CORRECT
+    closure's residual at the start of a drift repair is as large as
+    the drift itself, and a scalar threshold IRLS-crushes it)."""
     r = jax.vmap(
         lambda i, j, m: edge_residual(g.poses[i], g.poses[j], m)
     )(g.edge_i, g.edge_j, g.rel_ij)
@@ -111,12 +115,13 @@ def optimize_pose_graph(
     g: PoseGraph,
     n_iterations: int = 20,
     damping: float = 1e-4,
-    huber_delta: float = 0.1,
+    huber_delta=0.1,
 ) -> Tuple[PoseGraph, jnp.ndarray]:
     """Jittable robust-LM pose-graph optimization; returns
     (graph, final_cost). ``huber_delta`` is the residual norm (rad/units
     mixed 6-vector) beyond which an edge is treated as an outlier and
-    IRLS-downweighted; pass ``inf`` for pure least squares."""
+    IRLS-downweighted — scalar or per-edge [E] array; pass ``inf``
+    (per edge or globally) for pure least squares."""
 
     def body(_, state):
         poses, lam = state

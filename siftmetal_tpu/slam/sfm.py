@@ -54,12 +54,14 @@ def _jit_bundle_adjust(problem, n_iterations, huber_delta):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iterations",))
-def _jit_optimize_pose_graph(g, n_iterations):
+def _jit_optimize_pose_graph(g, n_iterations, huber_delta=0.1):
     """Module-level jit for :meth:`SfmMap.optimize_pose_graph` — same
     cache rationale as :func:`_jit_bundle_adjust`."""
     from .pose_graph import optimize_pose_graph
 
-    return optimize_pose_graph(g, n_iterations=n_iterations)
+    return optimize_pose_graph(
+        g, n_iterations=n_iterations, huber_delta=huber_delta
+    )
 
 
 def _parallax_ok(
@@ -97,6 +99,23 @@ def _camera_centers(cams: np.ndarray) -> np.ndarray:
     return -rt
 
 
+def _rotations(cams: np.ndarray) -> np.ndarray:
+    """[N, 3, 3] rotation matrices for [N, 6] (rvec, t) poses,
+    vectorized Rodrigues in numpy."""
+    rv = cams[:, :3].astype(np.float64)
+    th = np.linalg.norm(rv, axis=1)
+    w = np.where(
+        th[:, None] > 1e-12, rv / np.maximum(th[:, None], 1e-12), 0.0
+    )
+    k = np.zeros((len(cams), 3, 3))
+    k[:, 0, 1], k[:, 0, 2] = -w[:, 2], w[:, 1]
+    k[:, 1, 0], k[:, 1, 2] = w[:, 2], -w[:, 0]
+    k[:, 2, 0], k[:, 2, 1] = -w[:, 1], w[:, 0]
+    eye = np.eye(3)[None]
+    s, co = np.sin(th)[:, None, None], np.cos(th)[:, None, None]
+    return eye + s * k + (1.0 - co) * (k @ k)
+
+
 def _bucket(n: int, cap: int, floor: int = 8) -> int:
     """Next power of two >= max(n, floor), capped at ``cap``.
 
@@ -124,8 +143,29 @@ class SfmConfig:
     # new keyframe and unmatched keypoints may claim a landmark whose
     # projection lies within this pixel gate (0 disables). The gate
     # replaces the ratio test; the relaxed absolute threshold applies.
-    guided_rematch_radius: float = 8.0
+    # 16 px (was 8): the guided gate is the driver's CONTINUOUS
+    # re-anchoring mechanism — a drifted old landmark re-claims its
+    # keypoint as long as it projects within the gate, pulling the pose
+    # back toward its anchor; once drift exceeds the gate the keypoint
+    # is re-triangulated as a duplicate and the anchor is lost forever.
+    # Measured on the 208-keyframe orbit: 8 -> 16 px cut duplicate
+    # landmarks 2373 -> 1668 and ATE 1.06 -> 0.93 (the descriptor
+    # absolute threshold still gates acceptance; RANSAC/Huber arbitrate).
+    guided_rematch_radius: float = 16.0
     guided_abs_threshold: float = 1.3
+    # Image-motion bound (px) for the duplicate-aware PnP rescue's
+    # geometric disambiguation (add_frame): a ratio-killed keypoint's
+    # candidate landmark must reproject within this radius in the
+    # PREVIOUS keyframe's pose. Looser than guided_rematch_radius (that
+    # gate works in the CURRENT accepted pose; this one absorbs one
+    # keyframe of image motion). RANSAC arbitrates every rescue.
+    rescue_reproj_radius: float = 24.0
+    # Reprojection gate (px) for track MERGING (add_frame): candidate
+    # new landmarks whose descriptor matches an existing landmark merge
+    # when the existing landmark projects within this radius in the
+    # newly accepted pose. Wider than pnp_inlier_threshold on purpose —
+    # see the merge_gate comment in add_frame.
+    track_merge_reproj_radius: float = 10.0
     # Track merging: a triangulated "new" point whose descriptor matches
     # an existing landmark AND whose 3D position lies within
     # track_merge_frac * depth of it becomes an observation of that
@@ -178,6 +218,29 @@ class SfmConfig:
     # the physical point remains re-triangulable. cull_age=0 disables.
     cull_min_obs: int = 3
     cull_age: int = 8
+    # Keyframe index at which init-generation landmarks are
+    # RE-TRIANGULATED from their (frame-0, latest-frame) observation
+    # pair using the CURRENT pose estimates. The bootstrap pair's
+    # baseline is whatever the video gives (one frame of motion —
+    # routinely near-degenerate), so init landmark depths carry large
+    # along-ray errors that windowed BA then reconciles by warping the
+    # early trajectory (measured on the 208-keyframe orbit: ~30x map
+    # scale inflation over the first ~30 keyframes, the dominant ATE
+    # term). By keyframe ~8 the accumulated baseline is ~8x wider;
+    # re-expressing the same tracks through it repairs the geometry in
+    # the map's own (current) scale. 0 disables.
+    init_reanchor_at: int = 8
+    # Reprojection-health culling (second cull_landmarks pass): a
+    # landmark whose MEDIAN live-observation reprojection residual
+    # exceeds cull_reproj_mult * pnp_inlier_threshold is tombstoned
+    # regardless of observation count. Catches landmarks BA slid along
+    # their (ill-conditioned, near-parallel-ray) bearing — they were
+    # created consistent, so the creation gates never saw them, but a
+    # slid landmark poisons descriptor matching exactly like a bad
+    # triangulation (measured on the 208-keyframe orbit: the late-orbit
+    # duplicate bursts are slid landmarks whose healthy twins can no
+    # longer win the merge gate). 0 disables.
+    cull_reproj_mult: float = 4.0
     ba_iterations: int = 6
     ba_huber_delta: float = 3.0
 
@@ -246,6 +309,53 @@ class SfmMap:
             & (self.lm_nobs[:n] < c.cull_min_obs)
             & (self.lm_created[:n] <= self.n_cameras - 1 - c.cull_age)
         )
+        if c.cull_reproj_mult > 0 and self.n_obs > 0:
+            # Reprojection health: median live residual per landmark
+            # (vectorized numpy over all observations — n_obs * 9 flops).
+            no = self.n_obs
+            oc = self.obs_cam[:no]
+            ol = self.obs_lm[:no]
+            alive_o = self.obs_alive[:no]
+            rs = _rotations(self.cameras[: self.n_cameras])
+            pts = self.landmarks[ol]
+            pc = (
+                np.einsum("nij,nj->ni", rs[oc], pts)
+                + self.cameras[oc, 3:]
+            )
+            z = np.maximum(pc[:, 2], 1e-9)
+            kmat = np.asarray(self.k)
+            u = kmat[0, 0] * pc[:, 0] / z + kmat[0, 2]
+            v = kmat[1, 1] * pc[:, 1] / z + kmat[1, 2]
+            res = np.hypot(
+                u - self.obs_uv[:no, 0], v - self.obs_uv[:no, 1]
+            )
+            res = np.where(alive_o & (pc[:, 2] > 0), res, np.nan)
+            # median per landmark without a python loop: sort by
+            # (landmark, residual) and pick each group's middle entry.
+            order = np.lexsort((res, ol))
+            ol_s, res_s = ol[order], res[order]
+            counts = np.bincount(ol_s, weights=~np.isnan(res_s),
+                                 minlength=n).astype(np.int64)
+            starts = np.concatenate(
+                [[0], np.cumsum(np.bincount(ol_s, minlength=n))]
+            )[:-1]
+            have = counts > 0
+            mid = starts + np.maximum(counts - 1, 0) // 2
+            med = np.full(n, 0.0)
+            med[have] = res_s[np.minimum(mid[have], no - 1)]
+            bad = (
+                self.lm_alive[:n]
+                & have[:n]
+                & (med[:n] > c.cull_reproj_mult * c.pnp_inlier_threshold)
+            )
+            # A landmark with live observations but NO in-front-of-camera
+            # residual at all is unconditionally garbage.
+            n_live_obs = np.bincount(
+                ol[alive_o], minlength=n
+            )[:n]
+            kill = kill | bad | (
+                self.lm_alive[:n] & (n_live_obs > 0) & ~have[:n]
+            )
         idx = np.nonzero(kill)[0]
         if len(idx) == 0:
             return 0
@@ -331,7 +441,16 @@ class SfmMap:
             # metric PnP results).
             pok = _parallax_ok(pts3, cam0, cam1, c.triangulation_min_parallax)
             cand = np.nonzero(good)[0]
-            cand = np.concatenate([cand[pok[cand]], cand[~pok[cand]]])
+            good_c = cand[pok[cand]]
+            # Degenerate-parallax fill is CAPPED: enough to bootstrap
+            # PnP when the scene is parallax-poor, but a full budget of
+            # unobservable-depth points (measured: they seed the
+            # duplicate-landmark cascade and bias early BA) is worse
+            # than a sparse clean init — add_frame re-triangulates the
+            # rejected keypoints properly within a few frames.
+            n_fill = max(0, min(128, c.new_landmarks_per_frame)
+                         - len(good_c))
+            cand = np.concatenate([good_c, cand[~pok[cand]][:n_fill]])
             sel = np.sort(cand[: c.new_landmarks_per_frame])
         else:
             sel = np.nonzero(good)[0][: c.new_landmarks_per_frame]
@@ -385,17 +504,23 @@ class SfmMap:
         )
         mv = np.array(m.valid)              # writable copies (rescue below)
         lm_ids = np.array(m.target_idx)
+        uv = np.asarray(xy)[:, ::-1].copy()          # (col, row)
         # Duplicate-aware ratio-test rescue: the Lowe test rejects a
         # keypoint when its two best map matches are nearly equidistant
-        # (d1 ~= d2) — but when those two LANDMARKS are the same physical
-        # 3D point (residual duplicates that track merging/culling hasn't
-        # retired yet), the match is unambiguous and rejecting it starves
-        # PnP exactly where the map is densest. Accept the best target
-        # when the top-2 landmark positions are 3D-close relative to
-        # their distance from the current camera estimate (previous
-        # keyframe center — baseline-independent scale proxy). RANSAC
-        # still arbitrates every rescued correspondence.
-        if self.n_cameras > 0 and m.second_idx is not None:
+        # (d1 ~= d2) — for a map carrying residual duplicate landmarks
+        # (same physical point triangulated twice) that rejection starves
+        # PnP exactly where the map is densest. Disambiguate
+        # GEOMETRICALLY instead: project both candidate landmarks into
+        # the PREVIOUS keyframe's pose and take the one landing within
+        # the guided-rematch radius of the keypoint (consecutive-frame
+        # motion bound — the same gate the guided matcher trusts); a
+        # badly-positioned twin projects nowhere near it. RANSAC still
+        # arbitrates every rescued correspondence.
+        if (
+            self.n_cameras > 0
+            and m.second_idx is not None
+            and c.guided_rematch_radius > 0
+        ):
             d1 = np.asarray(m.distance)
             i2 = np.asarray(m.second_idx)
             cand = (
@@ -406,23 +531,51 @@ class SfmMap:
             )
             if cand.any():
                 ci = np.nonzero(cand)[0]
-                best = np.asarray(m.best_idx)[ci]
-                p1 = self.landmarks[best]
-                p2 = self.landmarks[i2[ci]]
+                prev_cam = jnp.asarray(self.cameras[self.n_cameras - 1])
+
+                def reproj_err(lm_i):
+                    pts = jnp.asarray(self.landmarks[np.maximum(lm_i, 0)])
+                    proj = np.asarray(
+                        jax.vmap(lambda p: project(prev_cam, self.k, p))(
+                            pts
+                        )
+                    )
+                    return np.linalg.norm(proj - uv[ci], axis=1)
+
+                b1, b2 = np.asarray(m.best_idx)[ci], i2[ci]
+                e1 = np.where(
+                    self.lm_alive[np.maximum(b1, 0)], reproj_err(b1), np.inf
+                )
+                e2 = np.where(
+                    self.lm_alive[np.maximum(b2, 0)], reproj_err(b2), np.inf
+                )
+                pick = np.where(e1 <= e2, b1, b2)
+                # Two independent acceptance conditions:
+                #  (a) the twins are 3D-close relative to their distance
+                #      from the previous camera — the same physical
+                #      point, unambiguous regardless of image motion;
+                #  (b) one twin projects within rescue_reproj_radius in
+                #      the previous pose (consecutive-keyframe motion
+                #      bound) — disambiguates a healthy landmark from a
+                #      badly-positioned twin.
+                p1 = self.landmarks[np.maximum(b1, 0)]
+                p2 = self.landmarks[np.maximum(b2, 0)]
                 center = _camera_centers(
                     self.cameras[self.n_cameras - 1 : self.n_cameras]
                 )[0]
                 dist_c = np.maximum(
                     np.linalg.norm(p1 - center, axis=1), 1e-6
                 )
-                same_pt = (
-                    np.linalg.norm(p1 - p2, axis=1) / dist_c
-                    < max(c.track_merge_frac, 0.02)
-                ) & self.lm_alive[best] & self.lm_alive[i2[ci]]
-                rescued = ci[same_pt]
+                emin = np.minimum(e1, e2)
+                same3d = (
+                    (np.linalg.norm(p1 - p2, axis=1) / dist_c
+                     < max(c.track_merge_frac, 0.02))
+                    & np.isfinite(emin)
+                )
+                ok_r = same3d | (emin < c.rescue_reproj_radius)
+                rescued = ci[ok_r]
                 mv[rescued] = True
-                lm_ids[rescued] = best[same_pt]
-        uv = np.asarray(xy)[:, ::-1].copy()          # (col, row)
+                lm_ids[rescued] = pick[ok_r]
         pts3 = self.landmarks[np.maximum(lm_ids, 0)]
 
         res = pnp_ransac(
@@ -579,7 +732,7 @@ class SfmMap:
                 ratio_threshold=1.0,
             )
             mmv = np.asarray(mm.valid)
-            tgt_lm = np.asarray(mm.target_idx)
+            tgt_lm = np.array(mm.target_idx)
             # Same-track decision: project the EXISTING landmark into the
             # accepted pose and gate on 2D reprojection error — the same
             # criterion a PnP inlier satisfies. The previous gate compared
@@ -594,20 +747,53 @@ class SfmMap:
             # is baseline-independent; the 3D-proximity check is kept as
             # an OR fallback for landmarks whose stored position is stale
             # (e.g. pre-BA) but whose triangulation agrees.
-            tgt_pts = self.landmarks[np.maximum(tgt_lm, 0)]
             cam_j = jnp.asarray(cam_new)
-            tgt_proj = np.asarray(
-                jax.vmap(lambda p: project(cam_j, self.k, p))(
-                    jnp.asarray(tgt_pts)
-                )
-            )
-            err2d = np.linalg.norm(tgt_proj - uv[seln], axis=1)
-            d3 = np.linalg.norm(pts3n[seln] - tgt_pts, axis=1)
             depth_n = depth(cam_new, pts3n[seln])
-            merge = mmv & (
-                (err2d < c.pnp_inlier_threshold)
-                | (d3 < c.track_merge_frac * np.maximum(depth_n, 1e-6))
+
+            def merge_gate(lm_i):
+                pts = self.landmarks[np.maximum(lm_i, 0)]
+                proj = np.asarray(
+                    jax.vmap(lambda p: project(cam_j, self.k, p))(
+                        jnp.asarray(pts)
+                    )
+                )
+                err2d = np.linalg.norm(proj - uv[seln], axis=1)
+                d3 = np.linalg.norm(pts3n[seln] - pts, axis=1)
+                # Gate at the track-merge radius, WIDER than the PnP
+                # inlier gate: an existing landmark created tens of
+                # keyframes ago reprojects through the windowed-BA
+                # drift accumulated since — measured on the 208-orbit,
+                # healthy twins miss a pnp_inlier_threshold (4 px) gate
+                # by a few px mid-orbit and every miss spawns a
+                # duplicate (121 in one frame at the visibility
+                # transition). A slightly-generous merge only adds an
+                # observation to an existing track (BA's robust loss
+                # arbitrates); a miss compounds duplicates forever.
+                return (err2d < c.track_merge_reproj_radius) | (
+                    d3 < c.track_merge_frac * np.maximum(depth_n, 1e-6)
+                )
+
+            g1 = merge_gate(tgt_lm)
+            # Duplicate-aware retarget: with a badly-positioned twin in
+            # the map, argmin may return IT (identical descriptor,
+            # distance ~0) — the healthy twin is then the second-best at
+            # the same distance. Failing the merge there would spawn a
+            # THIRD copy (the late-orbit compounding mechanism measured
+            # on the 208-keyframe rehearsal), so retry the gate on the
+            # second-best when it also clears the absolute threshold.
+            i2 = np.asarray(mm.second_idx)
+            d2nd = np.asarray(mm.second_distance)
+            retry = (
+                mmv & ~g1 & (i2 >= 0)
+                & (d2nd < c.match_absolute_threshold)
             )
+            g2 = np.zeros_like(g1)
+            if retry.any():
+                g2 = retry & merge_gate(i2) & self.lm_alive[
+                    np.maximum(i2, 0)
+                ]
+                tgt_lm = np.where(g2, i2, tgt_lm)
+            merge = mmv & (g1 | g2)
             midx = np.nonzero(merge)[0]
             if len(midx):
                 self._add_observations(
@@ -646,7 +832,125 @@ class SfmMap:
             ).astype(np.float32)
         )
         self.cull_landmarks()
+        if c.init_reanchor_at > 0 and cam_id == c.init_reanchor_at:
+            self._retriangulate_init()
         return True, n_in, len(seln)
+
+    def _retriangulate_init(self) -> int:
+        """Re-triangulate init-generation landmarks from their
+        (frame 0, latest frame) observation pair with the CURRENT pose
+        estimates (see SfmConfig.init_reanchor_at). Positions that fail
+        the depth/reprojection checks keep their old value. Returns the
+        number of landmarks updated."""
+        c = self.config
+        no = self.n_obs
+        if no == 0 or self.n_landmarks == 0:
+            return 0
+        n = self.n_landmarks
+        ol = self.obs_lm[:no]
+        oc = self.obs_cam[:no]
+        ouv = self.obs_uv[:no]
+        alive_o = self.obs_alive[:no]
+        # Init-generation landmarks carry created == 1 (initialize()
+        # registers cameras 0 and 1 before adding them).
+        init_lm = (self.lm_created[:n] <= 1) & self.lm_alive[:n]
+
+        sel0 = alive_o & (oc == 0) & init_lm[ol]
+        uv0 = np.zeros((n, 2), np.float32)
+        has0 = np.zeros(n, bool)
+        uv0[ol[sel0]] = ouv[sel0]
+        has0[ol[sel0]] = True
+
+        latest = np.full(n, -1, np.int32)
+        np.maximum.at(latest, ol[alive_o], oc[alive_o])
+        sel_l = alive_o & (oc == latest[ol]) & init_lm[ol] & (oc >= 2)
+        uvl = np.zeros((n, 2), np.float32)
+        hasl = np.zeros(n, bool)
+        uvl[ol[sel_l]] = ouv[sel_l]
+        hasl[ol[sel_l]] = True
+
+        cand = has0 & hasl
+        if not cand.any():
+            return 0
+        kmat = np.asarray(self.k)
+
+        def projmat(cam):
+            return kmat @ np.c_[
+                np.asarray(rodrigues(jnp.asarray(cam[:3]))), cam[3:]
+            ]
+
+        p0 = projmat(self.cameras[0]).astype(np.float32)
+        updated = 0
+        for j in np.unique(latest[cand]):
+            rows = np.nonzero(cand & (latest == j))[0]
+            pj = projmat(self.cameras[j]).astype(np.float32)
+            pts = np.asarray(
+                triangulate(
+                    jnp.asarray(p0), jnp.asarray(pj),
+                    jnp.asarray(uv0[rows]), jnp.asarray(uvl[rows]),
+                )
+            )
+            z0 = self._depths(self.cameras[0], pts)
+            zj = self._depths(self.cameras[j], pts)
+            camj = jnp.asarray(self.cameras[j])
+            proj = np.asarray(
+                jax.vmap(lambda p: project(camj, self.k, p))(
+                    jnp.asarray(pts)
+                )
+            )
+            err = np.linalg.norm(proj - uvl[rows], axis=1)
+            ok = (
+                (z0 > c.triangulation_min_depth)
+                & (zj > c.triangulation_min_depth)
+                & (err < c.pnp_inlier_threshold)
+                & np.isfinite(pts).all(axis=1)
+            )
+            self.landmarks[rows[ok]] = pts[ok]
+            updated += int(ok.sum())
+
+        if updated:
+            # The early CAMERA poses were estimated against the
+            # pre-repair geometry (PnP |t| against near-degenerate
+            # depths is weakly constrained — measured: the first ~8
+            # keyframes run at a scale tens of times off the converged
+            # map and freeze there once windowed BA slides past). With
+            # the landmarks repaired, re-solve every non-anchor pose by
+            # damped GN on its own observations, then one global BA —
+            # the map is ~init_reanchor_at keyframes here, so the
+            # global solve is trivially cheap and never recurs.
+            from .pnp import pnp_refine
+
+            for j in range(1, self.n_cameras):
+                sel = alive_o & (oc == j)
+                if sel.sum() < 6:
+                    continue
+                pts_j = self.landmarks[ol[sel]]
+                w = np.ones(int(sel.sum()), np.float32)
+                self.cameras[j] = np.asarray(
+                    pnp_refine(
+                        jnp.asarray(self.cameras[j]),
+                        jnp.asarray(pts_j.astype(np.float32)),
+                        jnp.asarray(ouv[sel]),
+                        self.k,
+                        jnp.asarray(w),
+                    )
+                )
+            self.bundle_adjust(fixed_cameras=1)
+            # The stored odometry edges were measured against the
+            # PRE-repair poses; leaving them stale poisons every later
+            # pose-graph solve (measured: drift repair made the
+            # trajectory WORSE than the injected drift). Re-derive
+            # them from the repaired poses.
+            from .camera import relative as _relative
+
+            for j in range(len(self.odometry)):
+                self.odometry[j] = np.asarray(
+                    _relative(
+                        jnp.asarray(self.cameras[j]),
+                        jnp.asarray(self.cameras[j + 1]),
+                    )
+                ).astype(np.float32)
+        return updated
 
     def detect_loop_closures(self, key=None):
         """Propose + verify loop-closure edges for the LATEST keyframe.
@@ -759,17 +1063,44 @@ class SfmMap:
                 int((union_ok & (err < c.pnp_inlier_threshold)).sum())
             )
         best = max(scores)
+        kept = [
+            (j, mdl)
+            for score, (j, mdl) in zip(scores, cands)
+            if score >= 0.8 * best
+        ]
+        # Mutual pose agreement: every candidate estimates the SAME pose
+        # (the current frame's), so an outlier is detectable directly —
+        # a sliver-geometry PnP can reproject the union set acceptably
+        # (depth-direction translation is weakly observable) yet sit far
+        # from its siblings in SE(3) (measured: 1 of 8 closures on the
+        # 52-keyframe scene was 0.55 off while the rest agreed within
+        # 0.05, and it alone capped the drift repair at worse-than-
+        # injected). Robust MAD gate around the median pose.
+        if len(kept) >= 3:
+            models = np.stack([m for _, m in kept])
+            med = np.median(models, axis=0)
+            dev = np.linalg.norm(models - med, axis=1)
+            mad = np.median(dev)
+            keep_mask = dev <= 5.0 * max(mad, 0.01)
+            kept = [km for km, k_ok in zip(kept, keep_mask) if k_ok]
         return [
             (j, i, np.asarray(
                 _relative(jnp.asarray(self.cameras[j]), jnp.asarray(mdl))
             ).astype(np.float32))
-            for score, (j, mdl) in zip(scores, cands)
-            if score >= 0.8 * best
+            for j, mdl in kept
         ]
 
-    def bundle_adjust(self, fixed_cameras: int = 1, window: Optional[int] = None):
+    def bundle_adjust(
+        self,
+        fixed_cameras: Optional[int] = None,
+        window: Optional[int] = None,
+    ):
         """Bundle adjustment over the current map (jit-compiled per
         (C,L,O) fill sizes rounded up to static budgets).
+
+        ``fixed_cameras`` defaults to 1 (SE(3) gauge only) — see the
+        resolution comment below for the gauge experiments that were
+        measured and rejected.
 
         ``window=k`` selects sliding-window LOCAL BA: only the last k
         keyframes move (all earlier cameras are held fixed) and only
@@ -783,6 +1114,18 @@ class SfmMap:
         fill count, capped at its budget): a 512-camera-budget map with
         12 keyframes solves a [96,96] camera system, not [3072,3072],
         and a growing map recompiles O(log) times, not per keyframe."""
+        if fixed_cameras is None:
+            # One fixed camera (SE(3) gauge only). Both alternatives
+            # were tried on the 208-keyframe orbit and measured WORSE:
+            # fixing cameras 0+1 for windowed calls pinned the noisy
+            # essential-matrix baseline into the map (ATE 0.93 -> 1.97),
+            # and promoting small-map windowed calls to global solves
+            # let the early degenerate-depth landmarks drive runaway
+            # scale inflation (ATE -> 2.94). The early-trajectory
+            # quality lever that DOES work is repairing the init
+            # landmarks' geometry itself (see add_frame's baseline
+            # re-triangulation).
+            fixed_cameras = 1
         c = self.config
         nc = _bucket(self.n_cameras, c.max_cameras)
         nlm = _bucket(self.n_landmarks, c.max_landmarks)
@@ -892,6 +1235,15 @@ class SfmMap:
         edge_j[:m] = ej
         rel_ij[:m] = np.stack(rels).astype(np.float32)
         weight[:m] = 1.0
+        # Scalar Huber for EVERY edge, loop closures included: marking
+        # verified closures as trusted (per-edge inf) was tried and
+        # measured HARMFUL — detect_loop_closures' gates still pass the
+        # occasional bad edge (measured: one of eight closures on the
+        # 52-keyframe scene carried a 0.55 residual, 30x its siblings,
+        # and un-guarded it dragged the repaired ATE below the injected
+        # drift). The IRLS weight min(1, 0.1/||r||) keeps honest
+        # closures near full weight while capping the bad one.
+        huber = np.full(me, 0.1, np.float32)
 
         g = PoseGraph(
             poses=jnp.asarray(poses),
@@ -901,7 +1253,9 @@ class SfmMap:
             weight=jnp.asarray(weight),
             fixed=1,
         )
-        out, cost = _jit_optimize_pose_graph(g, n_iterations)
+        out, cost = _jit_optimize_pose_graph(
+            g, n_iterations, jnp.asarray(huber)
+        )
         self.cameras[:n] = np.asarray(out.poses)[:n]
         return float(cost)
 
