@@ -372,19 +372,18 @@ def _packed_window_ref(
     return acc
 
 
-def _entry_matrix_reduce(rows, w_seg, k_used):
-    """Finish every entry's LANE reduction with one MXU contraction.
+def _entry_matrix_segments(rows, w_seg):
+    """Per-SEGMENT lane sums of every entry via one MXU contraction.
 
-    ``rows`` are the per-entry sublane-reduced [1, 128] partials. The
-    straightforward ending — a 7-op roll/add lane tree per entry — costs
-    ``7 * n_entries`` serial VPU ops per lane (896 for the descriptor's
-    128 entries, the kernel's largest single cost). Stacking the rows
-    into M [E, 128] and contracting lane-against-lane with a STATIC 0/1
-    segment-selection matrix S[s, l] = (l // w_seg == s) computes every
-    per-segment lane sum in ONE dot_general — and lands segment s's
-    results in SUBLANE s, so the final packed-segment combine is
-    ``k_used - 1`` row adds and the output is already a [1, E] row.
-    """
+    ``rows`` are the per-entry sublane-reduced [1, 128] partials.
+    Stacking them into M [E, 128] and contracting lane-against-lane
+    with a STATIC 0/1 segment-selection matrix S[s, l] =
+    (l // w_seg == s) computes every per-segment lane sum in ONE
+    dot_general, landing segment s's results in SUBLANE s of the
+    returned [8, ep] matrix. Callers interpret segments as either
+    row-blocks of one keypoint (:func:`_entry_matrix_reduce` sums them)
+    or as DIFFERENT keypoints (the multi-keypoint packed path reads
+    each sublane as one keypoint's finished entries)."""
     e = len(rows)
     ep = (e + 7) // 8 * 8
     if ep > e:
@@ -398,6 +397,19 @@ def _entry_matrix_reduce(rows, w_seg, k_used):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                       # [8, ep]
+    return t, ep
+
+
+def _entry_matrix_reduce(rows, w_seg, k_used):
+    """Finish every entry's LANE reduction with one MXU contraction.
+
+    The straightforward ending — a 7-op roll/add lane tree per entry —
+    costs ``7 * n_entries`` serial VPU ops per lane (896 for the
+    descriptor's 128 entries, the kernel's largest single cost). The
+    segment contraction (:func:`_entry_matrix_segments`) replaces them
+    all; the final packed-segment combine is ``k_used - 1`` row adds
+    and the output is already a [1, E] row."""
+    t, ep = _entry_matrix_segments(rows, w_seg)
     res = t[0:1]
     for s in range(1, k_used):
         res = res + t[s:s + 1]
@@ -416,6 +428,86 @@ def _packed_coords(w_seg, p_rows):
     return orig_r.astype(jnp.float32), orig_c.astype(jnp.float32)
 
 
+def _multikp_tiles(
+    pg, slot, g, blk, n_kp, p_side, dma_rows, dma_cols, w_seg,
+    valid_ref, u0_ref, v0_ref,
+):
+    """Build the two [p_side, 128] MULTI-keypoint gradient tiles for
+    lanes ``blk .. blk + n_kp`` of group ``g``: keypoint q's compacted
+    patch occupies lane segment [q*w_seg, (q+1)*w_seg) (patch pixel
+    (row, col % w_seg)). Only VALID lanes' windows are inserted — the
+    rest of the tile stays zero (their scratch was never DMA'd and may
+    hold stale garbage; a select keeps it out entirely, and zero
+    gradients produce zero entries). Segment-q lanes after the static
+    re-roll hold exactly kp q's compacted lanes [0, w_seg); slack
+    columns/rows inside a segment land outside the patch coordinate
+    box and are masked by the callers' window tests, the same argument
+    as :func:`_packed_window`."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (p_side, 128), 1)
+    gi_t = jnp.zeros((p_side, 128), jnp.float32)
+    gj_t = jnp.zeros((p_side, 128), jnp.float32)
+    for q in range(n_kp):
+        u = blk + q
+        l = g * GROUP + u
+        shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
+        shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
+        sel = (col // w_seg == q) & (valid_ref[l] != 0)
+        xi = _compact_window(
+            pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+            p_side, dma_rows, dma_cols,
+        )
+        xj = _compact_window(
+            pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+            p_side, dma_rows, dma_cols,
+        )
+        if q:
+            xi = pltpu.roll(xi, q * w_seg, 1)
+            xj = pltpu.roll(xj, q * w_seg, 1)
+        gi_t = jnp.where(sel, xi, gi_t)
+        gj_t = jnp.where(sel, xj, gj_t)
+    return gi_t, gj_t
+
+
+def _multikp_param_row(g, blk, n_kp, w_seg, fn, valid_ref=None,
+                       default=0.0):
+    """[1, 128] per-SEGMENT broadcast of a per-lane scalar: segment q's
+    lanes carry ``fn(lane_index(q))``. Scalars arrive via SMEM prefetch
+    refs, so this is n_kp cheap scalar reads + selects. With
+    ``valid_ref``, invalid lanes take ``default`` instead — their slot
+    values are garbage and must not poison the shared tile math."""
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    out = jnp.zeros((1, 128), jnp.float32)
+    for q in range(n_kp):
+        l = g * GROUP + blk + q
+        v = fn(l)
+        if valid_ref is not None:
+            v = jnp.where(valid_ref[l] != 0, v, default)
+        out = jnp.where(col1 // w_seg == q, v, out)
+    return out
+
+
+def _multikp_coords(g, blk, n_kp, w_seg, p_side, u0_ref, v0_ref,
+                    x_ref, y_ref):
+    """(dm, dn) patch-offset maps of the multi-keypoint tile: lane
+    segment q carries keypoint q's (pixel - center) offsets."""
+    offr = _multikp_param_row(
+        g, blk, n_kp, w_seg,
+        lambda l: u0_ref[l].astype(jnp.float32) - x_ref[l],
+    )
+    offc = _multikp_param_row(
+        g, blk, n_kp, w_seg,
+        lambda l: v0_ref[l].astype(jnp.float32) - y_ref[l],
+    )
+    row_f = jax.lax.broadcasted_iota(
+        jnp.int32, (p_side, 128), 0
+    ).astype(jnp.float32)
+    colw_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (p_side, 128), 1)
+        & (w_seg - 1)
+    ).astype(jnp.float32)
+    return row_f + offr, colw_f + offc
+
+
 def _descriptor_kernel(
     # scalar prefetch
     valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
@@ -427,7 +519,7 @@ def _descriptor_kernel(
     # scratch
     pg, sems,
     *,
-    geoms, n_hist, n_ori, lam, mxu_reduce,
+    geoms, n_hist, n_ori, lam, mxu_reduce, multikp,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -479,9 +571,109 @@ def _descriptor_kernel(
     half = lam * (n_hist + 1) / n_hist
     cell = 2.0 * lam / n_hist
 
-    for b, (dma_rows, dma_cols, _, _, w_seg, p_rows, k_used) in enumerate(
+    for b, (dma_rows, dma_cols, comp, _, w_seg, p_rows, k_used) in enumerate(
         geoms
     ):
+      # Multi-KEYPOINT packing (static per bucket): run ONE shared
+      # map/weight/entry pipeline per 128//w_seg keypoints, each in its
+      # own lane segment; _entry_matrix_segments lands each keypoint's
+      # finished entries in its own sublane. See config.use_multikp_pack.
+      if multikp and mxu_reduce and w_seg < 128:
+        n_kp = 128 // w_seg
+
+        @pl.when(gbkt_ref[g] == b)
+        def _(dma_rows=dma_rows, dma_cols=dma_cols, comp=comp,
+              w_seg=w_seg, n_kp=n_kp):
+          for blk in range(0, GROUP, n_kp):
+            nv = valid_ref[g * GROUP + blk]
+            for q in range(1, n_kp):
+                nv = nv + valid_ref[g * GROUP + blk + q]
+
+            @pl.when(nv != 0)
+            def _(blk=blk):
+                for q in range(n_kp):
+                    @pl.when(valid_ref[g * GROUP + blk + q] != 0)
+                    def _(q=q):
+                        dma(g, slot, blk + q, dma_rows, dma_cols).wait()
+                gi, gj = _multikp_tiles(
+                    pg, slot, g, blk, n_kp, comp, dma_rows, dma_cols,
+                    w_seg, valid_ref, u0_ref, v0_ref,
+                )
+                dm, dn = _multikp_coords(
+                    g, blk, n_kp, w_seg, comp, u0_ref, v0_ref,
+                    x_ref, y_ref,
+                )
+                # Invalid lanes' sigma/theta are raw slot garbage (the
+                # coords were clamped in _lane_prep, these were not);
+                # substitute neutral values so no NaN can reach the
+                # shared entry contraction (0 * NaN = NaN would
+                # contaminate every keypoint in the block).
+                sig = _multikp_param_row(
+                    g, blk, n_kp, w_seg, lambda l: sig_ref[l],
+                    valid_ref=valid_ref, default=1.0,
+                )
+                th = _multikp_param_row(
+                    g, blk, n_kp, w_seg, lambda l: th_ref[l],
+                    valid_ref=valid_ref, default=0.0,
+                )
+                ct = jnp.cos(th)
+                st = jnp.sin(th)
+                xr = (ct * dm + st * dn) / sig
+                yr = (-st * dm + ct * dn) / sig
+                inside = (jnp.abs(xr) < half) & (jnp.abs(yr) < half)
+                mag = jnp.sqrt(gi * gi + gj * gj)
+                contrib = (
+                    jnp.exp(-(xr * xr + yr * yr) / (2.0 * lam * lam))
+                    * mag
+                    * inside
+                )
+                phi = jnp.mod(_atan2(gj, gi) - th, 2.0 * jnp.pi)
+
+                wo_maps = []
+                for k in range(n_ori):
+                    ok = k * 2.0 * jnp.pi / n_ori
+                    d = jnp.abs(phi - ok)
+                    d = jnp.minimum(d, 2.0 * jnp.pi - d)
+                    wo_maps.append(
+                        contrib
+                        * jnp.maximum(
+                            0.0, 1.0 - d * (n_ori / (2.0 * jnp.pi))
+                        )
+                    )
+                wa_maps = []
+                wb_maps = []
+                for a in range(n_hist):
+                    ca = (a + 1 - (n_hist + 1) / 2.0) * cell
+                    wa_maps.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(xr - ca) / cell)
+                    )
+                    wb_maps.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(yr - ca) / cell)
+                    )
+                rows = []
+                for a in range(n_hist):
+                    for bq in range(n_hist):
+                        ab_map = wa_maps[a] * wb_maps[bq]
+                        for k in range(n_ori):
+                            rows.append(
+                                jnp.sum(
+                                    ab_map * wo_maps[k],
+                                    axis=0, keepdims=True,
+                                )
+                            )
+                t, ep = _entry_matrix_segments(rows, w_seg)
+                # Pad to the full 128 lanes BEFORE row-slicing: Mosaic
+                # cannot concatenate a sublane-offset row slice
+                # ("offset mismatch on non-concat dimension").
+                if ep < 128:
+                    t = jnp.concatenate(
+                        [t, jnp.zeros((8, 128 - ep), jnp.float32)],
+                        axis=1,
+                    )
+                for q in range(n_kp):
+                    out_ref[blk + q:blk + q + 1, :] = t[q:q + 1]
+        continue
+
       @pl.when(gbkt_ref[g] == b)
       def _(dma_rows=dma_rows, dma_cols=dma_cols, w_seg=w_seg,
             p_rows=p_rows, k_used=k_used):
@@ -679,6 +871,7 @@ def descriptor_lanes_pallas(
             n_ori=config.n_descriptor_bins,
             lam=config.descriptor_lambda,
             mxu_reduce=config.use_patch_mxu_reduce,
+            multikp=config.use_multikp_pack,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
@@ -699,7 +892,7 @@ def _orientation_kernel(
     out_ref,
     pg, sems,
     *,
-    geoms, n_bins, lam, mxu_reduce,
+    geoms, n_bins, lam, mxu_reduce, multikp,
 ):
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
@@ -740,9 +933,72 @@ def _orientation_kernel(
 
     out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    for b, (dma_rows, dma_cols, _, _, w_seg, p_rows, k_used) in enumerate(
+    for b, (dma_rows, dma_cols, comp, _, w_seg, p_rows, k_used) in enumerate(
         geoms
     ):
+      # Multi-KEYPOINT packing — see the descriptor kernel's note.
+      if multikp and mxu_reduce and w_seg < 128:
+        n_kp = 128 // w_seg
+
+        @pl.when(gbkt_ref[g] == b)
+        def _(dma_rows=dma_rows, dma_cols=dma_cols, comp=comp,
+              w_seg=w_seg, n_kp=n_kp):
+          for blk in range(0, GROUP, n_kp):
+            nv = valid_ref[g * GROUP + blk]
+            for q in range(1, n_kp):
+                nv = nv + valid_ref[g * GROUP + blk + q]
+
+            @pl.when(nv != 0)
+            def _(blk=blk):
+                for q in range(n_kp):
+                    @pl.when(valid_ref[g * GROUP + blk + q] != 0)
+                    def _(q=q):
+                        dma(g, slot, blk + q, dma_rows, dma_cols).wait()
+                gi, gj = _multikp_tiles(
+                    pg, slot, g, blk, n_kp, comp, dma_rows, dma_cols,
+                    w_seg, valid_ref, u0_ref, v0_ref,
+                )
+                dm, dn = _multikp_coords(
+                    g, blk, n_kp, w_seg, comp, u0_ref, v0_ref,
+                    x_ref, y_ref,
+                )
+                sig = _multikp_param_row(
+                    g, blk, n_kp, w_seg, lambda l: sig_ref[l],
+                    valid_ref=valid_ref, default=1.0,
+                )
+                r_max = 3.0 * lam * sig
+                inside = (jnp.abs(dm) <= r_max) & (jnp.abs(dn) <= r_max)
+                mag = jnp.sqrt(gi * gi + gj * gj)
+                w = (
+                    jnp.exp(
+                        -(dm * dm + dn * dn)
+                        / (2.0 * (lam * sig) ** 2)
+                    )
+                    * mag
+                    * inside
+                )
+                thetab = jnp.mod(_atan2(gj, gi), 2.0 * jnp.pi) * (
+                    n_bins / (2.0 * jnp.pi)
+                )
+                bb = jnp.mod(jnp.round(thetab), float(n_bins))
+                rows = [
+                    jnp.sum(
+                        jnp.where(bb == float(k), w, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    for k in range(n_bins)
+                ]
+                t, ep = _entry_matrix_segments(rows, w_seg)
+                # Pad BEFORE row-slicing (see the descriptor kernel).
+                if ep < 128:
+                    t = jnp.concatenate(
+                        [t, jnp.zeros((8, 128 - ep), jnp.float32)],
+                        axis=1,
+                    )
+                for q in range(n_kp):
+                    out_ref[blk + q:blk + q + 1, :] = t[q:q + 1]
+        continue
+
       @pl.when(gbkt_ref[g] == b)
       def _(dma_rows=dma_rows, dma_cols=dma_cols, w_seg=w_seg,
             p_rows=p_rows, k_used=k_used):
@@ -884,6 +1140,7 @@ def orientation_hist_lanes_pallas(
             n_bins=config.n_orientation_bins,
             lam=config.orientation_lambda,
             mxu_reduce=config.use_patch_mxu_reduce,
+            multikp=config.use_multikp_pack,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),

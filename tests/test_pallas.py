@@ -165,6 +165,69 @@ def test_patch_kernels_mxu_reduce_equivalent():
     np.testing.assert_allclose(h0, h1, rtol=2e-5, atol=2e-5)
 
 
+def test_patch_kernels_multikp_pack_equivalent():
+    """use_multikp_pack (128//w_seg keypoints per shared compute tile,
+    each in its own lane segment) must reproduce the per-keypoint packed
+    path on both patch kernels — including ragged validity inside a
+    packed block, and adversarial garbage (sigma=0, theta=NaN) in
+    invalid lanes, which must not poison the shared entry contraction
+    of the VALID keypoints packed next to them."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.patches import (
+        descriptor_lanes_pallas,
+        orientation_hist_lanes_pallas,
+        prepare_patch_fields,
+    )
+
+    cfg0 = SiftConfig()
+    cfg1 = SiftConfig(use_multikp_pack=True)
+    rng = np.random.default_rng(17)
+    s = cfg0.n_gaussians_per_octave
+    h, w = 96, 160
+    gauss = jnp.asarray(rng.uniform(0, 1, (s, h, w)).astype(np.float32))
+    fields = prepare_patch_fields(gauss, cfg0)
+
+    # Radius-homogeneous GROUPS (the production layout: lanes arrive
+    # scale-major) so the fine/mid packed buckets actually engage —
+    # random per-lane sigmas would push every group's max reach into
+    # the coarse (unpacked) bucket and test nothing.
+    sigs = np.concatenate([
+        rng.uniform(0.6, 1.3, 24),   # fine bucket: 4 kps per tile
+        rng.uniform(1.6, 2.4, 16),   # mid bucket: 2 kps per tile
+        rng.uniform(2.8, 3.6, 8),    # coarse: unpacked path
+    ]).astype(np.float32)
+    L = len(sigs)
+    scale = jnp.asarray(
+        rng.integers(1, cfg0.n_scales_per_octave + 1, L).astype(np.int32)
+    )
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, L).astype(np.float32))
+    valid = jnp.asarray(rng.random(L) > 0.35)
+    sig = jnp.where(valid, jnp.asarray(sigs), 0.0)
+    theta = jnp.where(valid, theta, jnp.nan)
+
+    a0 = np.asarray(descriptor_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, theta, cfg0,
+        valid=valid, interpret=True,
+    ))
+    a1 = np.asarray(descriptor_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, theta, cfg1,
+        valid=valid, interpret=True,
+    ))
+    assert np.isfinite(a1).all()
+    np.testing.assert_allclose(a0, a1, rtol=2e-5, atol=2e-5)
+
+    h0 = np.asarray(orientation_hist_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg0, valid=valid, interpret=True,
+    ))
+    h1 = np.asarray(orientation_hist_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg1, valid=valid, interpret=True,
+    ))
+    assert np.isfinite(h1).all()
+    np.testing.assert_allclose(h0, h1, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_patch_kernels_batched_frames():
     """Batched fields ([B, S, H, W] + per-lane frame index) must match
