@@ -52,6 +52,9 @@ def main() -> None:
     if os.environ.get("BENCH_MULTIKP") == "1":
         # A/B the multi-keypoint packed patch kernels (ROADMAP lever #1).
         config = dataclasses.replace(config, use_multikp_pack=True)
+    if os.environ.get("BENCH_PALLAS_PYR") == "1":
+        # A/B the fused cascade+DoG Pallas pyramid (ROADMAP lever #2).
+        config = dataclasses.replace(config, use_pallas_pyramid=True)
     if os.environ.get("BENCH_ITER1") == "1":
         # Isolate the refinement walk: iteration-1-only detection (the
         # slot path then never gathers; NOT parity-correct, A/B only).

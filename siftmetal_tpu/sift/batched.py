@@ -55,6 +55,14 @@ def build_pyramid_batch(
     # Gaussians plateau the DoG and break the strict extrema test).
     if bf16:
         gray = gray.astype(jnp.bfloat16)
+    # Batched route for the fused cascade+DoG Pallas kernel: vmap of
+    # pallas_call does not batch on TPU, so frames go through lax.map
+    # (serial per-frame kernel launches; the kernel itself tiles rows).
+    use_cascade = (
+        config.use_pallas_pyramid
+        and not bf16
+        and jax.default_backend() == "tpu"
+    )
     first = seed_image(gray, config, out_dtype=jnp.float32)
     for o in range(n_octaves):
         if o > 0:
@@ -62,10 +70,18 @@ def build_pyramid_batch(
             if bf16:
                 prev = prev.astype(jnp.bfloat16)
             first = decimate_2x(prev, shapes[o])
-        slices = _pyramid.cascade_slices(first, o, config)
-        stack = jnp.stack(slices, axis=1)
+        if use_cascade and shapes[o][0] >= 256:
+            from ..ops.pallas.cascade import octave_cascade_pallas
+
+            stack, dog = jax.lax.map(
+                lambda f: octave_cascade_pallas(f, config), first
+            )
+        else:
+            slices = _pyramid.cascade_slices(first, o, config)
+            stack = jnp.stack(slices, axis=1)
+            dog = stack[:, 1:] - stack[:, :-1]
         gaussians.append(stack)
-        dogs.append(stack[:, 1:] - stack[:, :-1])
+        dogs.append(dog)
     return gaussians, dogs
 
 
