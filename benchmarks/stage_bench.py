@@ -49,9 +49,10 @@ def main() -> None:
         config = dataclasses.replace(config, use_mxu_pyramid=False)
     if os.environ.get("BENCH_PALLAS_DETECT") == "0":
         config = dataclasses.replace(config, use_pallas_detect=False)
-    if os.environ.get("BENCH_MULTIKP") == "1":
-        # A/B the multi-keypoint packed patch kernels (ROADMAP lever #1).
-        config = dataclasses.replace(config, use_multikp_pack=True)
+    if os.environ.get("BENCH_MULTIKP") == "0":
+        # A/B the multi-keypoint packed patch kernels (ROADMAP lever #1;
+        # default ON since r4, so the knob disables it for the baseline).
+        config = dataclasses.replace(config, use_multikp_pack=False)
     if os.environ.get("BENCH_PALLAS_PYR") == "1":
         # A/B the fused cascade+DoG Pallas pyramid (ROADMAP lever #2).
         config = dataclasses.replace(config, use_pallas_pyramid=True)

@@ -1022,8 +1022,11 @@ class SfmMap:
             jnp.stack([self.frames[j][1] for j in eligible]),
             jnp.stack([self.frames[j][2] for j in eligible]),
         )
-        m_counts = np.asarray(m_all.count)
+        # NOTE: Matches.count sums valid over ALL axes — on the vmapped
+        # result that is a 0-d total across candidates (the r4 IndexError
+        # regression). Per-candidate counts must reduce axis=1 only.
         m_valids = np.asarray(m_all.valid)
+        m_counts = m_valids.sum(axis=1)
         m_tgts = np.asarray(m_all.target_idx)
         for t, j in enumerate(eligible):
             pvalid = self.frames[j][2]

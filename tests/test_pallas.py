@@ -179,7 +179,7 @@ def test_patch_kernels_multikp_pack_equivalent():
         prepare_patch_fields,
     )
 
-    cfg0 = SiftConfig()
+    cfg0 = SiftConfig(use_multikp_pack=False)
     cfg1 = SiftConfig(use_multikp_pack=True)
     rng = np.random.default_rng(17)
     s = cfg0.n_gaussians_per_octave

@@ -288,6 +288,82 @@ def test_loop_closure_drift_repair():
     assert repaired_ate < 0.5 * bad_ate, (base_ate, bad_ate, repaired_ate)
 
 
+def test_detect_loop_closures_fast_regression():
+    """FAST (default-tier) loop-closure smoke: a 14-keyframe
+    out-and-back trajectory whose last frame returns to the starting
+    viewpoint; detect_loop_closures must return >= 1 early-frame edge
+    and optimize_pose_graph must consume them. Exists because the r4
+    closing commit shipped a vmap batching rewrite whose only coverage
+    was slow-marked: `Matches.count` sums valid over ALL axes, so on
+    the vmapped result it is a 0-d scalar and `m_counts[t]` raised
+    IndexError on EVERY call with a non-empty shortlist (VERDICT r4
+    weak #1). This test runs in the default suite and fails in seconds
+    on that class of bug."""
+    from siftmetal_tpu.slam.camera import project as _project
+
+    rng = np.random.default_rng(29)
+    n_frames, n_lm = 14, 512
+    k = np.array([[400, 0, 320], [0, 400, 240], [0, 0, 1]], np.float32)
+
+    lms = rng.uniform(
+        [-5, -3, 8], [5, 3, 16], (n_lm, 3)
+    ).astype(np.float32)
+    descs = rng.integers(0, 200, (n_lm, 128)).astype(np.uint8)
+
+    # Out-and-back along x with a slight yaw wobble: frame 13 sits at
+    # the frame-0 viewpoint again, so the loop gap (>= loop_min_gap=10)
+    # and the view overlap are both satisfied without large per-step
+    # motion.
+    cams = np.zeros((n_frames, 6), np.float32)
+    for f in range(n_frames):
+        s = np.sin(np.pi * f / (n_frames - 1))
+        cams[f, 3] = 2.0 * s
+        cams[f, 1] = 0.08 * s
+
+    frames = []
+    for f in range(n_frames):
+        uvs = np.asarray(
+            jax.vmap(
+                lambda p, f=f: _project(
+                    jnp.asarray(cams[f]), jnp.asarray(k), p
+                )
+            )(jnp.asarray(lms))
+        )
+        depth = SfmMap._depths(cams[f], lms)
+        inside = (
+            (depth > 1.0)
+            & (uvs[:, 0] > 0) & (uvs[:, 0] < 640)
+            & (uvs[:, 1] > 0) & (uvs[:, 1] < 480)
+        )
+        uvs = uvs + rng.normal(0, 0.2, uvs.shape)
+        xy = uvs[:, ::-1].copy()
+        frames.append(
+            (
+                jnp.asarray(xy.astype(np.float32)),
+                jnp.asarray(descs),
+                jnp.asarray(inside),
+            )
+        )
+
+    cfg = SfmConfig(
+        max_cameras=16, max_landmarks=2048, max_observations=32768,
+        new_landmarks_per_frame=256,
+    )
+    smap = SfmMap(k, cfg)
+    smap.initialize(frames[0], frames[1])
+    for f in frames[2:]:
+        ok, n_in, _ = smap.add_frame(f)
+        assert ok, n_in
+    assert smap.n_cameras == n_frames
+
+    edges = smap.detect_loop_closures()
+    assert len(edges) >= 1, "no loop closures detected"
+    # The orbit's completion must close against the starting sector —
+    # with 14 keyframes and loop_min_gap=10, eligible targets are 0..3.
+    assert min(e[0] for e in edges) <= 3, edges
+    smap.optimize_pose_graph(loop_closures=edges, n_iterations=30)
+
+
 def test_bundle_adjust_jit_is_cached(synthetic_sequence):
     """Repeated bundle_adjust / optimize_pose_graph calls must reuse ONE
     compiled program per static budget (round 2 rebuilt a fresh
