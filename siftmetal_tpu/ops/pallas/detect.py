@@ -292,19 +292,45 @@ def _detect_kernel(
         else:
             colpk = gc
         cols, vois, vojs, voss, vvals = [], [], [], [], []
+        n_blocks = w_pad // 128
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 128), 1)
         for sl in range(slots):
             hit = soft & (csum == sl + 1)           # one-hot row (or empty)
-            cols.append(
-                jnp.max(jnp.where(hit, colpk, 0), axis=1, keepdims=True)
-            )
+            colw = jnp.max(jnp.where(hit, colpk, 0), axis=1, keepdims=True)
+            cols.append(colw)
             if emit_fields:
-                pick = lambda pl: jnp.sum(
-                    jnp.where(hit, pl, 0.0), axis=1, keepdims=True
-                )
-                vois.append(pick(ofst_i))
-                vojs.append(pick(ofst_j))
-                voss.append(pick(ofst_s))
-                vvals.append(pick(fval_keep))
+                # Two-level (fold -> narrow pick) field harvest: the old
+                # form ran FOUR full-width [tile_h, w_pad] masked reduces
+                # per slot (24 per scale — the kernel's dominant vector
+                # cost, ROADMAP lever #3). The candidate's column is
+                # already known from the col pick, so select the ONE
+                # 128-lane block containing it (n_blocks cheap selects on
+                # [tile_h, 128]) and run the one-hot pick at 1/n_blocks
+                # of the width. Bit-exact with the full-width pick: the
+                # fold is pure data movement and the final one-hot sum
+                # touches the same single element.
+                slot_live = bc > sl                          # [tile_h, 1]
+                c_raw = colw & ((1 << 13) - 1)
+                blk = c_raw >> 7                             # block index
+                lane_hit = (lane128 == (c_raw & 127)) & slot_live
+
+                def fold_pick(plane, blk=blk, lane_hit=lane_hit):
+                    folded = plane[:, :128]
+                    for bq in range(1, n_blocks):
+                        folded = jnp.where(
+                            blk == bq,
+                            plane[:, bq * 128:(bq + 1) * 128],
+                            folded,
+                        )
+                    return jnp.sum(
+                        jnp.where(lane_hit, folded, 0.0),
+                        axis=1, keepdims=True,
+                    )
+
+                vois.append(fold_pick(ofst_i))
+                vojs.append(fold_pick(ofst_j))
+                voss.append(fold_pick(ofst_s))
+                vvals.append(fold_pick(fval_keep))
         cand_ref[0, s - 1] = jnp.concatenate(cols, axis=1)
         if emit_fields:
             c_oi_ref[0, s - 1] = jnp.concatenate(vois, axis=1)
