@@ -53,6 +53,9 @@ def main() -> None:
         # A/B the multi-keypoint packed patch kernels (ROADMAP lever #1;
         # default ON since r4, so the knob disables it for the baseline).
         config = dataclasses.replace(config, use_multikp_pack=False)
+    if os.environ.get("BENCH_BAND") == "1":
+        # A/B the band-resident patch kernels (VERDICT r5 lever).
+        config = dataclasses.replace(config, use_band_patches=True)
     if os.environ.get("BENCH_PALLAS_PYR") == "1":
         # A/B the fused cascade+DoG Pallas pyramid (ROADMAP lever #2).
         config = dataclasses.replace(config, use_pallas_pyramid=True)

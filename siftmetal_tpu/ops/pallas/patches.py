@@ -216,6 +216,137 @@ def _group_buckets(
     return gb, radius_l
 
 
+BAND_ROWS = 128      # row-band granularity of the band-resident kernels
+BAND_DMA_WAYS = 8    # concurrent row-chunk copies per band fill
+
+
+def _band_brows(geoms) -> Tuple[int, int]:
+    """(up, brows) of the band-resident window: a band keyed by CENTER
+    row ``b = gci // BAND_ROWS`` is DMA'd as rows
+    [b*BAND_ROWS - up, b*BAND_ROWS - up + brows) (clamped to the field),
+    where ``up`` covers patches whose top starts up to the coarsest
+    bucket radius above the band and the tail covers the deepest window
+    of a center in the band's last row. Every lane's aligned window
+    [row0, row0 + dma_rows) then provably lands inside the buffer."""
+    up = (geoms[-1][3] + 7) // 8 * 8
+    return up, up + BAND_ROWS + max(g[0] for g in geoms)
+
+
+def _band_layout(
+    fields: PatchFields,
+    scale: jnp.ndarray,
+    x_oct: jnp.ndarray,
+    frame: Optional[jnp.ndarray],
+    valid: jnp.ndarray,
+):
+    """Assign every lane to a row band of the global gradient field and
+    build the GROUP-aligned padding permutation (VERDICT r4 #2: the
+    per-keypoint window DMA refetches ~0.5 GB/frame of overlapping
+    windows; band residency reads each field row once).
+
+    Lanes are STABLE-sorted by band key (lanes arrive mostly
+    detection-row-major, but per-octave MOVER lanes are appended out of
+    order, so order cannot be assumed); invalid (budget-slack) lanes
+    sort to the last band and skip all compute. Each band's lane list
+    is then padded to a multiple of GROUP with invalid lanes so no
+    GROUP straddles two bands (<= GROUP-1 pad lanes per populated
+    band, ~6%% of the call).
+
+    Returns ``(src, valid_pad, band_pad, dest, lp)``: gather indices
+    [lp] from original lanes into the padded banded order, padded-lane
+    validity, per-padded-lane band index, and the inverse map
+    (``out_original[l] = out_banded[dest[l]]``)."""
+    l = scale.shape[0]
+    r_total = fields.g.shape[1]
+    n_bands = r_total // BAND_ROWS + 1
+    ok = valid
+    ci = jnp.round(jnp.where(ok, x_oct, 0.0)).astype(jnp.int32) + fields.rpad
+    slice_idx = jnp.where(ok, scale, 1) - 1
+    if frame is not None:
+        slice_idx = slice_idx + frame * fields.s_per_frame
+    gci = slice_idx * fields.hp + ci
+    band_raw = jnp.clip(gci // BAND_ROWS, 0, n_bands - 1)
+    key = jnp.where(ok, band_raw, n_bands - 1).astype(jnp.int32)
+
+    # Stable counting sort by band, SORT-FREE: jnp.argsort on the 20k
+    # lane keys measured ~3 ms/call on v5e (XLA sorts are the reason
+    # masked_nonzero exists — same medicine here). Within-128-block
+    # ranks come from one [128, 128] pairwise compare per block;
+    # cross-block offsets from one-hot per-block band counts and a tiny
+    # per-band prefix. All table lookups run as exact one-hot i32
+    # multiply-reduces (20k-element gathers are also slow on TPU).
+    nb_l = (l + 127) // 128
+    keyb = jnp.pad(
+        key, (0, nb_l * 128 - l), constant_values=n_bands - 1
+    ).reshape(nb_l, 128)
+    live = jnp.pad(
+        jnp.ones((l,), bool), (0, nb_l * 128 - l)
+    ).reshape(nb_l, 128)
+    tri = (
+        jnp.arange(128, dtype=jnp.int32)[:, None]
+        > jnp.arange(128, dtype=jnp.int32)[None, :]
+    )
+    eq = keyb[:, :, None] == keyb[:, None, :]
+    rank_blk = jnp.sum(
+        (eq & tri[None] & live[:, None, :]).astype(jnp.int32), axis=2
+    )                                                     # [nb_l, 128]
+    oh = (
+        (keyb[:, :, None] == jnp.arange(n_bands, dtype=jnp.int32))
+        & live[:, :, None]
+    ).astype(jnp.int32)                                   # [nb_l, 128, nb]
+    c_blk = jnp.sum(oh, axis=1)                           # [nb_l, nb]
+    p_blk = jnp.cumsum(c_blk, axis=0) - c_blk             # exclusive
+    count = jnp.sum(c_blk, axis=0)                        # [nb]
+    pcount = (count + GROUP - 1) // GROUP * GROUP
+    poff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcount)[:-1]]
+    )
+    # dest(l) = poff[key] + block-prefix[blk, key] + rank-in-block, all
+    # via the one-hot (exact: every value < 2^24).
+    dest_b = jnp.sum(oh * (p_blk[:, None, :] + poff[None, None, :]), axis=2)
+    dest = (dest_b + rank_blk).reshape(-1)[:l]
+
+    lp = (l + (GROUP - 1) * n_bands + GROUP - 1) // GROUP * GROUP
+    idx = jnp.arange(l, dtype=jnp.int32)
+    src = jnp.zeros((lp,), jnp.int32).at[dest].set(idx, mode="drop")
+    valid_pad = jnp.zeros((lp,), bool).at[dest].set(ok, mode="drop")
+    band_pad = jnp.full((lp,), n_bands - 1, jnp.int32).at[dest].set(
+        key, mode="drop"
+    )
+    return src, valid_pad, band_pad, dest, lp
+
+
+def _band_groups(
+    band_pad: jnp.ndarray, r_total: int, up: int, brows: int
+):
+    """Per-GROUP DMA-sequencing scalars of a banded lane chunk:
+    (g_r0, g_next_r0, g_flags) where g_r0 is the group's band DMA row
+    origin, g_next_r0 the NEXT band run's (for the one-run-ahead
+    prefetch started at each run's head group) and g_flags packs
+    bit0 = first group of a band run, bit1 = a next run exists,
+    bit2 = the run's double-buffer parity."""
+    n_g = band_pad.shape[0] // GROUP
+    gband = band_pad[::GROUP]
+    g_new = jnp.concatenate(
+        [jnp.ones((1,), bool), gband[1:] != gband[:-1]]
+    )
+    rid = jnp.cumsum(g_new.astype(jnp.int32)) - 1
+    n_runs = rid[-1] + 1
+    fgor = jnp.searchsorted(
+        rid, jnp.arange(n_g, dtype=jnp.int32), method="compare_all"
+    ).astype(jnp.int32)
+    g_r0 = jnp.clip(gband * BAND_ROWS - up, 0, r_total - brows)
+    run_r0 = g_r0[jnp.clip(fgor, 0, n_g - 1)]
+    g_next_r0 = run_r0[jnp.clip(rid + 1, 0, n_g - 1)]
+    g_has_next = rid + 1 < n_runs
+    g_flags = (
+        g_new.astype(jnp.int32)
+        | (g_has_next.astype(jnp.int32) << 1)
+        | ((rid % 2) << 2)
+    )
+    return g_r0, g_next_r0, g_flags
+
+
 def prepare_patch_fields(gauss: jnp.ndarray, config: SiftConfig) -> PatchFields:
     """Compute + pad gradient fields once per octave (or per batched
     octave). ``gauss`` is [S, H, W] or [B, S, H, W]."""
@@ -429,7 +560,7 @@ def _packed_coords(w_seg, p_rows):
 
 
 def _multikp_tiles(
-    pg, slot, g, blk, n_kp, p_side, dma_rows, dma_cols, w_seg,
+    get_win, g, blk, n_kp, p_side, dma_rows, dma_cols, w_seg,
     valid_ref, u0_ref, v0_ref,
 ):
     """Build the two [p_side, 128] MULTI-keypoint gradient tiles for
@@ -442,7 +573,11 @@ def _multikp_tiles(
     re-roll hold exactly kp q's compacted lanes [0, w_seg); slack
     columns/rows inside a segment land outside the patch coordinate
     box and are masked by the callers' window tests, the same argument
-    as :func:`_packed_window`."""
+    as :func:`_packed_window`.
+
+    ``get_win(u, plane)`` returns lane u's [dma_rows, dma_cols] window
+    (per-lane scratch in the DMA kernels, a band-buffer slice in the
+    band-resident ones)."""
     col = jax.lax.broadcasted_iota(jnp.int32, (p_side, 128), 1)
     gi_t = jnp.zeros((p_side, 128), jnp.float32)
     gj_t = jnp.zeros((p_side, 128), jnp.float32)
@@ -453,11 +588,11 @@ def _multikp_tiles(
         shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
         sel = (col // w_seg == q) & (valid_ref[l] != 0)
         xi = _compact_window(
-            pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+            get_win(u, 0), shift_r, shift_c,
             p_side, dma_rows, dma_cols,
         )
         xj = _compact_window(
-            pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+            get_win(u, 1), shift_r, shift_c,
             p_side, dma_rows, dma_cols,
         )
         if q:
@@ -509,59 +644,129 @@ def _multikp_coords(g, blk, n_kp, w_seg, p_side, u0_ref, v0_ref,
 
 
 def _descriptor_kernel(
-    # scalar prefetch
-    valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
-    sig_ref, th_ref,
-    # inputs
-    g_hbm,
-    # output
-    out_ref,
-    # scratch
-    pg, sems,
-    *,
+    *refs,
     geoms, n_hist, n_ori, lam, mxu_reduce, multikp,
+    banded=False, brows=0,
 ):
+    if banded:
+        (valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref,
+         y_ref, sig_ref, th_ref, gr0_ref, gnr0_ref, gflags_ref,
+         g_hbm, out_ref, band, bsem) = refs
+    else:
+        (valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref,
+         y_ref, sig_ref, th_ref, g_hbm, out_ref, pg, sems) = refs
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
-    slot = jax.lax.rem(g, 3)
 
-    def dma(grp, sl, u, dma_rows, dma_cols):
-        # ONE copy per lane: both gradient planes ride the leading dim.
-        l = grp * GROUP + u
-        base = pl.multiple_of(row0_ref[l], 8)
-        c0 = pl.multiple_of(c0_ref[l], 128)
-        return pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
-            pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
-            sems.at[sl, u],
-        )
+    if banded:
+        # Band-resident mode (VERDICT r4 #2): ONE full-width band DMA
+        # serves every lane whose patch lands in it (lanes were
+        # band-grouped by _band_layout), replacing the per-keypoint
+        # window refetch (~0.5 GB/frame of overlapping HBM reads) with
+        # one read of each gradient row. Runs are double-buffered one
+        # band ahead: the head group of run k waits its own band and
+        # starts run k+1's copy, which lands during run k's compute.
+        flags = gflags_ref[g]
+        par = (flags >> 2) & 1
 
-    def start_group(grp, sl):
-        # Per-GROUP window size (lanes arrive scale-major, so groups are
-        # radius-homogeneous); only valid lanes transfer.
-        for b, geom in enumerate(geoms):
-            rows_b, cols_b = geom[0], geom[1]
+        def band_copies(r0, sl):
+            # A single full-band copy streams at ~140 GB/s (descriptor-
+            # rate bound, measured); BAND_DMA_WAYS concurrent row-chunk
+            # copies restore the aggregate throughput the per-lane DMA
+            # pipeline used to get from 8 in-flight windows.
+            ch = brows // BAND_DMA_WAYS // 8 * 8
+            cps = []
+            base = 0
+            for c in range(BAND_DMA_WAYS):
+                rows_c = ch if c < BAND_DMA_WAYS - 1 else brows - base
+                cps.append(pltpu.make_async_copy(
+                    g_hbm.at[:, pl.ds(pl.multiple_of(r0 + base, 8),
+                                      rows_c), :],
+                    band.at[sl, :, pl.ds(base, rows_c), :],
+                    bsem.at[sl, c],
+                ))
+                base += rows_c
+            return cps
 
-            @pl.when(gbkt_ref[grp] == b)
+        @pl.when(g == 0)
+        def _():
+            for cp in band_copies(gr0_ref[0], 0):
+                cp.start()
+
+        @pl.when((flags & 1) != 0)
+        def _():
+            for cp in band_copies(gr0_ref[g], par):
+                cp.wait()
+
+            @pl.when((flags & 2) != 0)
             def _():
-                for u in range(GROUP):
-                    @pl.when(valid_ref[grp * GROUP + u] != 0)
-                    def _():
-                        dma(grp, sl, u, rows_b, cols_b).start()
+                for cp in band_copies(gnr0_ref[g], 1 - par):
+                    cp.start()
 
-    # Triple buffering: group g's patches were prefetched TWO programs
-    # ahead, so each group's DMA has ~2 groups of compute time to land;
-    # EVERY program prefetches group g+2 (per-lane validity inside), so
-    # the chain holds for ragged validity patterns, not just prefixes.
-    @pl.when(g == 0)
-    def _():
-        start_group(0, 0)
-        if n_g > 1:
-            start_group(1, 1)
+        def get_win(u, plane, dma_rows, dma_cols):
+            # Lanes read [dma_rows, dma_cols] windows straight out of
+            # the VMEM band at dynamic 8/128-aligned offsets (verified
+            # supported on hardware). The clip keeps INVALID lanes'
+            # clamped coordinates in-bounds (their values are selected
+            # out, the load itself must not trap).
+            l = g * GROUP + u
+            a = pl.multiple_of(
+                jnp.clip(row0_ref[l] - gr0_ref[g], 0, brows - dma_rows),
+                8,
+            )
+            c0 = pl.multiple_of(c0_ref[l], 128)
+            return band[par, plane, pl.ds(a, dma_rows), pl.ds(c0, dma_cols)]
 
-    @pl.when(g + 2 < n_g)
-    def _():
-        start_group(g + 2, jax.lax.rem(g + 2, 3))
+        def lane_wait(u, dma_rows, dma_cols):
+            pass
+    else:
+        slot = jax.lax.rem(g, 3)
+
+        def dma(grp, sl, u, dma_rows, dma_cols):
+            # ONE copy per lane: both gradient planes ride the leading
+            # dim.
+            l = grp * GROUP + u
+            base = pl.multiple_of(row0_ref[l], 8)
+            c0 = pl.multiple_of(c0_ref[l], 128)
+            return pltpu.make_async_copy(
+                g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
+                pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
+                sems.at[sl, u],
+            )
+
+        def start_group(grp, sl):
+            # Per-GROUP window size (lanes arrive scale-major, so groups
+            # are radius-homogeneous); only valid lanes transfer.
+            for b, geom in enumerate(geoms):
+                rows_b, cols_b = geom[0], geom[1]
+
+                @pl.when(gbkt_ref[grp] == b)
+                def _():
+                    for u in range(GROUP):
+                        @pl.when(valid_ref[grp * GROUP + u] != 0)
+                        def _():
+                            dma(grp, sl, u, rows_b, cols_b).start()
+
+        # Triple buffering: group g's patches were prefetched TWO
+        # programs ahead, so each group's DMA has ~2 groups of compute
+        # time to land; EVERY program prefetches group g+2 (per-lane
+        # validity inside), so the chain holds for ragged (non-prefix)
+        # validity patterns.
+        @pl.when(g == 0)
+        def _():
+            start_group(0, 0)
+            if n_g > 1:
+                start_group(1, 1)
+
+        @pl.when(g + 2 < n_g)
+        def _():
+            start_group(g + 2, jax.lax.rem(g + 2, 3))
+
+        def get_win(u, plane, dma_rows, dma_cols):
+            return pg[slot, u, plane, :dma_rows, :dma_cols]
+
+        def lane_wait(u, dma_rows, dma_cols):
+            dma(g, slot, u, dma_rows, dma_cols).wait()
 
     # Zero the whole block once; valid lanes overwrite below. Keeps the
     # invalid-lane contract (zeros) with a single unconditional store
@@ -594,9 +799,10 @@ def _descriptor_kernel(
                 for q in range(n_kp):
                     @pl.when(valid_ref[g * GROUP + blk + q] != 0)
                     def _(q=q):
-                        dma(g, slot, blk + q, dma_rows, dma_cols).wait()
+                        lane_wait(blk + q, dma_rows, dma_cols)
                 gi, gj = _multikp_tiles(
-                    pg, slot, g, blk, n_kp, comp, dma_rows, dma_cols,
+                    lambda u, p: get_win(u, p, dma_rows, dma_cols),
+                    g, blk, n_kp, comp, dma_rows, dma_cols,
                     w_seg, valid_ref, u0_ref, v0_ref,
                 )
                 dm, dn = _multikp_coords(
@@ -684,15 +890,15 @@ def _descriptor_kernel(
 
             @pl.when(valid_ref[l] != 0)
             def _():
-                dma(g, slot, u, dma_rows, dma_cols).wait()
+                lane_wait(u, dma_rows, dma_cols)
                 shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
                 shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
                 gi = _packed_window(
-                    pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+                    get_win(u, 0, dma_rows, dma_cols), shift_r, shift_c,
                     dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
                 gj = _packed_window(
-                    pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+                    get_win(u, 1, dma_rows, dma_cols), shift_r, shift_c,
                     dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
                 sig = sig_ref[l]
@@ -785,6 +991,152 @@ def _descriptor_kernel(
                     out_ref[u:u + 1, :] = jnp.concatenate(entries, axis=1)
 
 
+def _desc_reach(sigma_oct: jnp.ndarray, config: SiftConfig) -> jnp.ndarray:
+    half = (
+        config.descriptor_lambda
+        * (config.n_histograms_per_axis + 1)
+        / config.n_histograms_per_axis
+    )
+    return math.sqrt(2.0) * half * sigma_oct + 0.5
+
+
+def _ori_reach(sigma_oct: jnp.ndarray, config: SiftConfig) -> jnp.ndarray:
+    return 3.0 * config.orientation_lambda * sigma_oct + 0.5
+
+
+def _lanes_banded(
+    fields: PatchFields,
+    scale: jnp.ndarray,
+    x_oct: jnp.ndarray,
+    y_oct: jnp.ndarray,
+    sigma_oct: jnp.ndarray,
+    config: SiftConfig,
+    theta: Optional[jnp.ndarray],
+    valid: jnp.ndarray,
+    frame: Optional[jnp.ndarray],
+    interpret: bool,
+) -> jnp.ndarray:
+    """Band-resident driver shared by the descriptor (theta given) and
+    orientation (theta None) stages: permute lanes into band-grouped
+    order (pad so groups never straddle bands), run the banded kernel
+    in MAX_LANES_PER_CALL chunks (a chunk boundary inside a band run
+    simply re-DMAs that band), then un-permute the [*, 128] rows back
+    to the caller's lane order."""
+    src, valid_pad, band_pad, dest, lp = _band_layout(
+        fields, scale, x_oct, frame, valid
+    )
+    take = lambda a: jnp.take(a, src, axis=0)
+    scale_p, x_p, y_p, sig_p = (
+        take(scale), take(x_oct), take(y_oct), take(sigma_oct)
+    )
+    th_p = None if theta is None else take(theta)
+    fr_p = None if frame is None else take(frame)
+    valid_p = valid_pad & take(valid)
+
+    outs = []
+    for s0 in range(0, lp, MAX_LANES_PER_CALL):
+        s1 = min(s0 + MAX_LANES_PER_CALL, lp)
+        sl_ = slice(s0, s1)
+        outs.append(
+            _lanes_banded_call(
+                fields, scale_p[sl_], x_p[sl_], y_p[sl_], sig_p[sl_],
+                None if th_p is None else th_p[sl_],
+                valid_p[sl_],
+                None if fr_p is None else fr_p[sl_],
+                band_pad[sl_], config, interpret,
+            )
+        )
+    out_pad = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return jnp.take(out_pad, dest, axis=0)
+
+
+def _lanes_banded_call(
+    fields, scale, x_oct, y_oct, sigma_oct, theta, valid, frame,
+    band_pad, config, interpret,
+):
+    l = scale.shape[0]
+    descriptor = theta is not None
+    if descriptor:
+        reach = _desc_reach(sigma_oct, config)
+        buckets = _radius_buckets(config.desc_patch_radius)
+    else:
+        reach = _ori_reach(sigma_oct, config)
+        buckets = _radius_buckets(config.ori_patch_radius)
+    geoms = _bucket_geoms(buckets)
+    for rows_b, _, _, r_b, *_ in geoms:
+        assert rows_b - r_b <= fields.rpad, (r_b, fields.rpad)
+    up, brows = _band_brows(geoms)
+    r_total = fields.g.shape[1]
+    wp = fields.g.shape[2]
+
+    gbkt, radius_l = _group_buckets(reach, valid, buckets)
+    row0, c0, u0, v0, valid_i32 = _lane_prep(
+        fields, scale, x_oct, y_oct, radius_l, frame, valid
+    )
+    g_r0, g_next_r0, g_flags = _band_groups(band_pad, r_total, up, brows)
+
+    n_prefetch = 13 if descriptor else 12
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(l // GROUP,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (GROUP, 128), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, brows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, BAND_DMA_WAYS)),
+        ],
+    )
+    if descriptor:
+        kern = functools.partial(
+            _descriptor_kernel,
+            geoms=geoms,
+            n_hist=config.n_histograms_per_axis,
+            n_ori=config.n_descriptor_bins,
+            lam=config.descriptor_lambda,
+            mxu_reduce=config.use_patch_mxu_reduce,
+            multikp=config.use_multikp_pack,
+            banded=True,
+            brows=brows,
+        )
+        args = (
+            valid_i32, gbkt, row0, c0, u0, v0,
+            x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct, theta,
+            g_r0, g_next_r0, g_flags,
+        )
+    else:
+        kern = functools.partial(
+            _orientation_kernel,
+            geoms=geoms,
+            n_bins=config.n_orientation_bins,
+            lam=config.orientation_lambda,
+            mxu_reduce=config.use_patch_mxu_reduce,
+            multikp=config.use_multikp_pack,
+            banded=True,
+            brows=brows,
+        )
+        args = (
+            valid_i32, gbkt, row0, c0, u0, v0,
+            x_oct + fields.rpad, y_oct + fields.cpad, sigma_oct,
+            g_r0, g_next_r0, g_flags,
+        )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((l, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args, fields.g)
+
+
+def _use_band(fields: PatchFields, config: SiftConfig, geoms) -> bool:
+    _, brows = _band_brows(geoms)
+    return config.use_band_patches and fields.g.shape[1] >= brows
+
+
 def descriptor_lanes_pallas(
     fields: PatchFields,
     scale: jnp.ndarray,
@@ -806,9 +1158,22 @@ def descriptor_lanes_pallas(
     static window (see :func:`_radius_buckets`) that holds every lane's
     true patch — lanes arrive scale-major, so groups are nearly
     radius-homogeneous and the common (fine-scale) group does ~2x less
-    DMA and vector work than the sigma_max-sized window."""
+    DMA and vector work than the sigma_max-sized window.
+
+    With ``config.use_band_patches`` the per-lane window DMAs are
+    replaced by the band-resident layout (:func:`_lanes_banded`)."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
+    if _use_band(fields, config,
+                 _bucket_geoms(_radius_buckets(config.desc_patch_radius))):
+        if valid is None:
+            valid = jnp.ones((l,), bool)
+        out = _lanes_banded(
+            fields, scale, x_oct, y_oct, sigma_oct, config, theta,
+            valid, frame, interpret,
+        )
+        return out[:, :config.n_histograms_per_axis ** 2
+                   * config.n_descriptor_bins]
     if l > MAX_LANES_PER_CALL:
         outs = []
         for s0 in range(0, l, MAX_LANES_PER_CALL):
@@ -886,50 +1251,112 @@ def descriptor_lanes_pallas(
 
 
 def _orientation_kernel(
-    valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref, y_ref,
-    sig_ref,
-    g_hbm,
-    out_ref,
-    pg, sems,
-    *,
+    *refs,
     geoms, n_bins, lam, mxu_reduce, multikp,
+    banded=False, brows=0,
 ):
+    if banded:
+        (valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref,
+         y_ref, sig_ref, gr0_ref, gnr0_ref, gflags_ref,
+         g_hbm, out_ref, band, bsem) = refs
+    else:
+        (valid_ref, gbkt_ref, row0_ref, c0_ref, u0_ref, v0_ref, x_ref,
+         y_ref, sig_ref, g_hbm, out_ref, pg, sems) = refs
     g = pl.program_id(0)
     n_g = pl.num_programs(0)
-    slot = jax.lax.rem(g, 3)
 
-    def dma(grp, sl, u, dma_rows, dma_cols):
-        # ONE copy per lane: both gradient planes ride the leading dim.
-        l = grp * GROUP + u
-        base = pl.multiple_of(row0_ref[l], 8)
-        c0 = pl.multiple_of(c0_ref[l], 128)
-        return pltpu.make_async_copy(
-            g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
-            pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
-            sems.at[sl, u],
-        )
+    if banded:
+        # Band-resident mode — see the descriptor kernel's note.
+        flags = gflags_ref[g]
+        par = (flags >> 2) & 1
 
-    def start_group(grp, sl):
-        for b, geom in enumerate(geoms):
-            rows_b, cols_b = geom[0], geom[1]
+        def band_copies(r0, sl):
+            # A single full-band copy streams at ~140 GB/s (descriptor-
+            # rate bound, measured); BAND_DMA_WAYS concurrent row-chunk
+            # copies restore the aggregate throughput the per-lane DMA
+            # pipeline used to get from 8 in-flight windows.
+            ch = brows // BAND_DMA_WAYS // 8 * 8
+            cps = []
+            base = 0
+            for c in range(BAND_DMA_WAYS):
+                rows_c = ch if c < BAND_DMA_WAYS - 1 else brows - base
+                cps.append(pltpu.make_async_copy(
+                    g_hbm.at[:, pl.ds(pl.multiple_of(r0 + base, 8),
+                                      rows_c), :],
+                    band.at[sl, :, pl.ds(base, rows_c), :],
+                    bsem.at[sl, c],
+                ))
+                base += rows_c
+            return cps
 
-            @pl.when(gbkt_ref[grp] == b)
+        @pl.when(g == 0)
+        def _():
+            for cp in band_copies(gr0_ref[0], 0):
+                cp.start()
+
+        @pl.when((flags & 1) != 0)
+        def _():
+            for cp in band_copies(gr0_ref[g], par):
+                cp.wait()
+
+            @pl.when((flags & 2) != 0)
             def _():
-                for u in range(GROUP):
-                    @pl.when(valid_ref[grp * GROUP + u] != 0)
-                    def _():
-                        dma(grp, sl, u, rows_b, cols_b).start()
+                for cp in band_copies(gnr0_ref[g], 1 - par):
+                    cp.start()
 
-    # Triple buffering (see the descriptor kernel's note).
-    @pl.when(g == 0)
-    def _():
-        start_group(0, 0)
-        if n_g > 1:
-            start_group(1, 1)
+        def get_win(u, plane, dma_rows, dma_cols):
+            l = g * GROUP + u
+            a = pl.multiple_of(
+                jnp.clip(row0_ref[l] - gr0_ref[g], 0, brows - dma_rows),
+                8,
+            )
+            c0 = pl.multiple_of(c0_ref[l], 128)
+            return band[par, plane, pl.ds(a, dma_rows), pl.ds(c0, dma_cols)]
 
-    @pl.when(g + 2 < n_g)
-    def _():
-        start_group(g + 2, jax.lax.rem(g + 2, 3))
+        def lane_wait(u, dma_rows, dma_cols):
+            pass
+    else:
+        slot = jax.lax.rem(g, 3)
+
+        def dma(grp, sl, u, dma_rows, dma_cols):
+            # ONE copy per lane: both gradient planes ride the leading
+            # dim.
+            l = grp * GROUP + u
+            base = pl.multiple_of(row0_ref[l], 8)
+            c0 = pl.multiple_of(c0_ref[l], 128)
+            return pltpu.make_async_copy(
+                g_hbm.at[:, pl.ds(base, dma_rows), pl.ds(c0, dma_cols)],
+                pg.at[sl, u, :, pl.ds(0, dma_rows), pl.ds(0, dma_cols)],
+                sems.at[sl, u],
+            )
+
+        def start_group(grp, sl):
+            for b, geom in enumerate(geoms):
+                rows_b, cols_b = geom[0], geom[1]
+
+                @pl.when(gbkt_ref[grp] == b)
+                def _():
+                    for u in range(GROUP):
+                        @pl.when(valid_ref[grp * GROUP + u] != 0)
+                        def _():
+                            dma(grp, sl, u, rows_b, cols_b).start()
+
+        # Triple buffering (see the descriptor kernel's note).
+        @pl.when(g == 0)
+        def _():
+            start_group(0, 0)
+            if n_g > 1:
+                start_group(1, 1)
+
+        @pl.when(g + 2 < n_g)
+        def _():
+            start_group(g + 2, jax.lax.rem(g + 2, 3))
+
+        def get_win(u, plane, dma_rows, dma_cols):
+            return pg[slot, u, plane, :dma_rows, :dma_cols]
+
+        def lane_wait(u, dma_rows, dma_cols):
+            dma(g, slot, u, dma_rows, dma_cols).wait()
 
     out_ref[:, :] = jnp.zeros_like(out_ref)
 
@@ -953,9 +1380,10 @@ def _orientation_kernel(
                 for q in range(n_kp):
                     @pl.when(valid_ref[g * GROUP + blk + q] != 0)
                     def _(q=q):
-                        dma(g, slot, blk + q, dma_rows, dma_cols).wait()
+                        lane_wait(blk + q, dma_rows, dma_cols)
                 gi, gj = _multikp_tiles(
-                    pg, slot, g, blk, n_kp, comp, dma_rows, dma_cols,
+                    lambda u, p: get_win(u, p, dma_rows, dma_cols),
+                    g, blk, n_kp, comp, dma_rows, dma_cols,
                     w_seg, valid_ref, u0_ref, v0_ref,
                 )
                 dm, dn = _multikp_coords(
@@ -1009,15 +1437,15 @@ def _orientation_kernel(
 
             @pl.when(valid_ref[l] != 0)
             def _():
-                dma(g, slot, u, dma_rows, dma_cols).wait()
+                lane_wait(u, dma_rows, dma_cols)
                 shift_r = u0_ref[l] - (u0_ref[l] // 8) * 8
                 shift_c = v0_ref[l] - (v0_ref[l] // 128) * 128
                 gi = _packed_window(
-                    pg[slot, u, 0, :dma_rows, :dma_cols], shift_r, shift_c,
+                    get_win(u, 0, dma_rows, dma_cols), shift_r, shift_c,
                     dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
                 gj = _packed_window(
-                    pg[slot, u, 1, :dma_rows, :dma_cols], shift_r, shift_c,
+                    get_win(u, 1, dma_rows, dma_cols), shift_r, shift_c,
                     dma_rows, dma_cols, w_seg, p_rows, k_used,
                 )
                 sig = sig_ref[l]
@@ -1084,9 +1512,18 @@ def orientation_hist_lanes_pallas(
 ) -> jnp.ndarray:
     """Raw (un-smoothed) [L, n_bins] orientation histograms via Pallas.
     Same fields/valid/frame/per-group-window contract as
-    :func:`descriptor_lanes_pallas`."""
+    :func:`descriptor_lanes_pallas` (including band-resident mode)."""
     l = scale.shape[0]
     assert l % GROUP == 0, l
+    if _use_band(fields, config,
+                 _bucket_geoms(_radius_buckets(config.ori_patch_radius))):
+        if valid is None:
+            valid = jnp.ones((l,), bool)
+        out = _lanes_banded(
+            fields, scale, x_oct, y_oct, sigma_oct, config, None,
+            valid, frame, interpret,
+        )
+        return out[:, :config.n_orientation_bins]
     if l > MAX_LANES_PER_CALL:
         outs = []
         for s0 in range(0, l, MAX_LANES_PER_CALL):

@@ -30,6 +30,71 @@ def test_blur_stack_pallas():
     assert np.abs(ref - got).max() < 1e-6
 
 
+def test_patch_kernels_band_resident_equivalent():
+    """use_band_patches (band-resident gradient fields + sort-free lane
+    permutation, config.py's documented r5 measured-negative — kept as a
+    fully-plumbed experiment) must reproduce the per-lane-DMA path on
+    both patch kernels, including batched fields, ragged validity, and
+    adversarial garbage in invalid lanes. Small float tolerance: band
+    mode regroups lanes, so multi-keypoint packing partners (and hence
+    per-pixel summation order) legitimately differ."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.patches import (
+        descriptor_lanes_pallas,
+        orientation_hist_lanes_pallas,
+        prepare_patch_fields,
+    )
+
+    cfg0 = SiftConfig(use_band_patches=False)
+    cfg1 = SiftConfig(use_band_patches=True)
+    rng = np.random.default_rng(23)
+    s = cfg0.n_gaussians_per_octave
+    h, w, b = 96, 160, 2
+    gauss = jnp.asarray(rng.uniform(0, 1, (b, s, h, w)).astype(np.float32))
+    fields = prepare_patch_fields(gauss, cfg0)
+
+    L = 64
+    sigs = np.concatenate([
+        rng.uniform(0.6, 1.3, 32),
+        rng.uniform(1.6, 2.4, 16),
+        rng.uniform(2.8, 3.6, 16),
+    ]).astype(np.float32)
+    scale = jnp.asarray(
+        rng.integers(1, cfg0.n_scales_per_octave + 1, L).astype(np.int32)
+    )
+    x_oct = jnp.asarray(rng.uniform(20, h - 20, L).astype(np.float32))
+    y_oct = jnp.asarray(rng.uniform(20, w - 20, L).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(-3, 3, L).astype(np.float32))
+    valid = jnp.asarray(rng.random(L) > 0.3)
+    sig = jnp.where(valid, jnp.asarray(sigs), 0.0)
+    th = jnp.where(valid, theta, jnp.nan)
+    frame = jnp.asarray(rng.integers(0, b, L).astype(np.int32))
+
+    d0 = descriptor_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, th, cfg0,
+        valid=valid, frame=frame, interpret=True,
+    )
+    d1 = descriptor_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, th, cfg1,
+        valid=valid, frame=frame, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(d0), np.asarray(d1), rtol=2e-5, atol=2e-5
+    )
+
+    o0 = orientation_hist_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg0,
+        valid=valid, frame=frame, interpret=True,
+    )
+    o1 = orientation_hist_lanes_pallas(
+        fields, scale, x_oct, y_oct, sig, cfg1,
+        valid=valid, frame=frame, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o0), np.asarray(o1), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_patch_kernels_match_xla_describe():
     """Orientation/descriptor Pallas kernels (interpret mode) vs the XLA
     chunked-vmap reference path on a synthetic octave; also exercises the
