@@ -88,25 +88,36 @@ def _detect_kernel(
     step = bb * n_tiles + t
     par = jax.lax.rem(step, 2)
 
-    def slab_dma(b_i, t_i, sl):
-        return pltpu.make_async_copy(
-            dog_hbm.at[b_i, :, pl.ds(t_i * tile_h, tile_h + 8), :],
-            scratch_db.at[sl],
-            sem.at[sl],
-        )
+    def slab_dmas(b_i, t_i, sl):
+        # One copy PER SCALE PLANE: a single whole-slab copy streams at
+        # only ~90 GB/s (descriptor-rate bound, measured r5 via the
+        # stub-kernel probe — 0.31 ms/frame exposed at octave 0); the
+        # per-scale copies run concurrently on separate semaphores and
+        # restore aggregate DMA throughput.
+        return [
+            pltpu.make_async_copy(
+                dog_hbm.at[b_i, s, pl.ds(t_i * tile_h, tile_h + 8), :],
+                scratch_db.at[sl, s],
+                sem.at[sl, s],
+            )
+            for s in range(n_scales + 2)
+        ]
 
     @pl.when(step == 0)
     def _():
-        slab_dma(bb, t, par).start()
+        for cp in slab_dmas(bb, t, par):
+            cp.start()
 
     @pl.when(step + 1 < n_b * n_tiles)
     def _():
         last = t + 1 >= n_tiles
         b_n = jnp.where(last, bb + 1, bb)
         t_n = jnp.where(last, 0, t + 1)
-        slab_dma(b_n, t_n, 1 - par).start()
+        for cp in slab_dmas(b_n, t_n, 1 - par):
+            cp.start()
 
-    slab_dma(bb, t, par).wait()
+    for cp in slab_dmas(bb, t, par):
+        cp.wait()
     scratch = scratch_db.at[par]
 
     # Validity of output rows/cols of this tile (border + padding zeroed:
@@ -457,7 +468,7 @@ def detect_candidates_pallas(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, s_dim, tile_h + 8, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, s_dim)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
