@@ -84,7 +84,9 @@ def barrier(name: str = "barrier") -> float:
     )(garr)
     jax.block_until_ready(out)
     logger.debug("barrier %s passed (%d devices)", name, len(devs))
-    return float(np.asarray(out))
+    # .item() on the explicit first element: float(array-of-ndim>0) is a
+    # numpy DeprecationWarning that fired on every suite run.
+    return float(np.asarray(out).reshape(-1)[0])
 
 
 def run_elastic(

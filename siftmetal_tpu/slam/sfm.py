@@ -241,6 +241,19 @@ class SfmConfig:
     # duplicate bursts are slid landmarks whose healthy twins can no
     # longer win the merge gate). 0 disables.
     cull_reproj_mult: float = 4.0
+    # Delayed bootstrap (initialize_delayed, ROADMAP SfM lever #1 /
+    # r4 VERDICT #7): accept the two-view init only once the trial
+    # reconstruction's MEDIAN triangulation parallax angle (radians)
+    # clears this bar; until then later frames are tried against frame
+    # 0. One frame of video motion is routinely a near-degenerate
+    # baseline whose depth errors freeze into the early trajectory
+    # (measured on the 208-orbit: per-segment scale ratio 0.03-0.7
+    # over the first ~30 keyframes vs ~1.0 steady-state).
+    bootstrap_min_parallax: float = 0.02
+    # Give up the search after this many candidate frames and fall
+    # back to the widest pair seen (a parallax-free opening must not
+    # stall the driver forever).
+    bootstrap_max_delay: int = 30
     ba_iterations: int = 6
     ba_huber_delta: float = 3.0
 
@@ -474,6 +487,128 @@ class SfmMap:
         ]
         self._frame_lm = {0: (sel, lm_idx), 1: (tgt, lm_idx)}
         return len(sel)
+
+    def _trial_two_view(self, frame0, framew, key):
+        """Trial two-view reconstruction of (frame0, framew): returns
+        ``(median_parallax, n_good, pts3, sel_order, m_target)`` where
+        ``sel_order`` ranks candidate landmark rows (parallax-preferred)
+        and pts3/m_target are the full per-keypoint arrays."""
+        c = self.config
+        xy0, d0, v0 = frame0
+        xyw, dw, vw = framew
+        m = match_bruteforce(
+            d0, dw, v0, vw,
+            absolute_threshold=c.match_absolute_threshold,
+            ratio_threshold=c.match_ratio_threshold,
+        )
+        mv = np.asarray(m.valid)
+        src_uv = np.asarray(xy0)[:, ::-1].copy()
+        dst_uv = np.asarray(xyw)[np.asarray(m.target_idx)][:, ::-1].copy()
+        res = find_fundamental(
+            key, jnp.asarray(src_uv), jnp.asarray(dst_uv),
+            jnp.asarray(mv), n_hypotheses=c.ransac_hypotheses,
+        )
+        inl = np.asarray(res.inliers)
+        e = essential_from_fundamental(res.model, self.k, self.k)
+        kinv = np.linalg.inv(np.asarray(self.k))
+        n0 = (np.c_[src_uv, np.ones(len(src_uv))] @ kinv.T)[:, :2]
+        n1 = (np.c_[dst_uv, np.ones(len(dst_uv))] @ kinv.T)[:, :2]
+        r, t, _ = recover_pose(
+            e, jnp.asarray(n0.astype(np.float32)),
+            jnp.asarray(n1.astype(np.float32)), jnp.asarray(inl * 1.0)
+        )
+        from .camera import so3_log
+
+        cam0 = np.zeros(6, dtype=np.float32)
+        camw = np.concatenate(
+            [np.asarray(so3_log(r)), np.asarray(t)]
+        ).astype(np.float32)
+        kmat = np.asarray(self.k)
+        p0 = kmat @ np.c_[np.eye(3), np.zeros(3)]
+        pw = kmat @ np.c_[np.asarray(r), np.asarray(t)]
+        pts3 = np.asarray(
+            triangulate(
+                jnp.asarray(p0.astype(np.float32)),
+                jnp.asarray(pw.astype(np.float32)),
+                jnp.asarray(src_uv), jnp.asarray(dst_uv),
+            )
+        )
+        z0 = pts3[:, 2]
+        zw = (pts3 @ np.asarray(r).T + np.asarray(t))[:, 2]
+        good = inl & (z0 > c.triangulation_min_depth) & (
+            zw > c.triangulation_min_depth
+        )
+        # Parallax angle between the bearing rays of every good point.
+        centers = _camera_centers(np.stack([cam0, camw]))
+        r1 = (pts3 - centers[0]).astype(np.float64)
+        r2 = (pts3 - centers[1]).astype(np.float64)
+        cross = np.cross(r1, r2)
+        ang = np.arctan2(
+            np.linalg.norm(cross, axis=1), (r1 * r2).sum(axis=1)
+        )
+        n_good = int(good.sum())
+        med = float(np.median(ang[good])) if n_good else 0.0
+        # Parallax-preferred landmark selection (same policy as
+        # initialize): well-conditioned points first, capped degenerate
+        # fill only if the budget is short.
+        pok = good & (ang > c.triangulation_min_parallax)
+        cand = np.concatenate([
+            np.nonzero(pok)[0],
+            np.nonzero(good & ~pok)[0][
+                : max(0, min(128, c.new_landmarks_per_frame)
+                      - int(pok.sum()))
+            ],
+        ])
+        return med, n_good, pts3, np.sort(cand), src_uv
+
+    def initialize_delayed(self, frames, key=None) -> Tuple[int, int]:
+        """ORB-SLAM-style delayed bootstrap (ROADMAP SfM lever #1).
+
+        ``frames`` is the OPENING keyframe list (at least 2 entries;
+        pass up to ~config.bootstrap_max_delay + 1). Searches for the
+        first frame w whose trial two-view reconstruction against frame
+        0 has median triangulation parallax >= bootstrap_min_parallax,
+        then seeds the map with camera 0 (identity) plus the WIDE
+        pair's landmarks only — n_cameras stays 1, so the caller
+        registers frames[1:] (including frame w itself) through the
+        normal ``add_frame`` PnP path and camera indices remain
+        TEMPORAL. Init-generation landmarks already carry a wide
+        baseline, so add_frame's init_reanchor_at re-triangulation is
+        disabled for this map. Returns ``(w, n_landmarks)``.
+
+        Plain ``initialize`` remains for callers that know their first
+        two frames are wide (or want the reference two-frame contract).
+        """
+        c = self.config
+        key = key if key is not None else jax.random.PRNGKey(0)
+        assert len(frames) >= 2
+        best = None  # (median_parallax, w, pts3, sel, src_uv)
+        w_max = min(len(frames) - 1, max(1, c.bootstrap_max_delay))
+        for w in range(1, w_max + 1):
+            med, n_good, pts3, sel, src_uv = self._trial_two_view(
+                frames[0], frames[w], jax.random.fold_in(key, w)
+            )
+            if n_good < max(32, c.min_pnp_inliers):
+                continue
+            if best is None or med > best[0]:
+                best = (med, w, pts3, sel, src_uv)
+            if med >= c.bootstrap_min_parallax:
+                break
+        assert best is not None, "no usable bootstrap pair found"
+        med, w, pts3, sel, src_uv = best
+        sel = sel[: c.new_landmarks_per_frame]
+        xy0, d0, v0 = frames[0]
+        self.cameras[0] = 0.0
+        self.n_cameras = 1
+        lm_idx = self._add_landmarks(pts3[sel], np.asarray(d0)[sel])
+        self._add_observations(
+            np.zeros(len(sel), np.int32), lm_idx, src_uv[sel]
+        )
+        self.frames = [frames[0]]
+        self.odometry = []
+        self._frame_lm = {0: (sel, lm_idx)}
+        self._delayed_init = True
+        return w, len(sel)
 
     def add_frame(self, frame, key=None) -> Tuple[bool, int, int]:
         """Register a new keyframe: PnP against the map + triangulate new
@@ -832,7 +967,14 @@ class SfmMap:
             ).astype(np.float32)
         )
         self.cull_landmarks()
-        if c.init_reanchor_at > 0 and cam_id == c.init_reanchor_at:
+        if (
+            c.init_reanchor_at > 0
+            and cam_id == c.init_reanchor_at
+            and not getattr(self, "_delayed_init", False)
+        ):
+            # Delayed-bootstrap landmarks already carry a wide baseline;
+            # re-triangulating them from the (0, latest) pair would only
+            # re-introduce narrow-pair noise.
             self._retriangulate_init()
         return True, n_in, len(seln)
 
@@ -996,12 +1138,33 @@ class SfmMap:
         if c.loop_max_candidates and len(eligible) > c.loop_max_candidates:
             # Pose-proximity shortlist (config.loop_max_candidates): one
             # vectorized camera-center distance pass over all eligible
-            # keyframes, then descriptor matching only on the nearest k.
+            # keyframes, then descriptor matching only on the nearest k
+            # — with TEMPORAL DIVERSITY: consecutive keyframes of one
+            # revisit are all near-equidistant, and a purely
+            # nearest-first shortlist fills with a single temporal
+            # cluster (measured on the 208-orbit: all 8 slots went to
+            # frames 191-197 — the orbit's recent past is ALSO
+            # physically adjacent at loop completion — and the frames
+            # loop closure exists to fix, 0-30, never got proposed;
+            # VERDICT r4 missing #4). Greedily take the nearest
+            # candidate of each loop_min_gap-wide temporal cluster
+            # instead: one representative of the recent-past cluster,
+            # then the early-orbit revisit (the ORB-SLAM covisibility-
+            # group idea, index-windowed).
             centers = _camera_centers(
                 self.cameras[np.asarray(eligible + [i])]
             )
             dists = np.linalg.norm(centers[:-1] - centers[-1], axis=1)
-            keep = np.argsort(dists)[: c.loop_max_candidates]
+            keep = []
+            for t in np.argsort(dists):
+                if any(
+                    abs(eligible[t] - eligible[u]) < c.loop_min_gap
+                    for u in keep
+                ):
+                    continue
+                keep.append(t)
+                if len(keep) >= c.loop_max_candidates:
+                    break
             eligible = [eligible[t] for t in sorted(keep)]
         if not eligible:
             return []
@@ -1028,9 +1191,16 @@ class SfmMap:
         m_valids = np.asarray(m_all.valid)
         m_counts = m_valids.sum(axis=1)
         m_tgts = np.asarray(m_all.target_idx)
+        import os as _os
+        _dbg = _os.environ.get("SFM_LOOP_DEBUG") == "1"
+        if _dbg:
+            print(f"[loop] frame {i}: shortlist {eligible}")
         for t, j in enumerate(eligible):
             pvalid = self.frames[j][2]
             if int(m_counts[t]) < c.loop_min_matches:
+                if _dbg:
+                    print(f"[loop]  j={j}: matches {int(m_counts[t])}"
+                          f" < {c.loop_min_matches}")
                 continue
             # 2D-3D: current keypoints matched to j-keypoints that carry
             # landmarks.
@@ -1045,6 +1215,9 @@ class SfmMap:
                 & self.lm_alive[np.maximum(lm_of_match, 0)]
             )
             if ok2d3d.sum() < c.loop_min_inliers:
+                if _dbg:
+                    print(f"[loop]  j={j}: 2d3d {int(ok2d3d.sum())}"
+                          f" < {c.loop_min_inliers}")
                 continue
             pts3 = self.landmarks[np.maximum(lm_of_match, 0)]
             res = pnp_ransac(
@@ -1055,12 +1228,20 @@ class SfmMap:
             )
             n_in = int(res.n_inliers)
             if not bool(res.ok) or n_in < c.loop_min_inliers:
+                if _dbg:
+                    print(f"[loop]  j={j}: pnp {n_in} inliers ok={bool(res.ok)}")
                 continue
             inl_uv = uv[np.asarray(res.inliers)]
             if len(inl_uv) and (
                 inl_uv.std(axis=0).min() < c.loop_min_uv_spread
             ):
+                if _dbg:
+                    print(f"[loop]  j={j}: uv spread"
+                          f" {inl_uv.std(axis=0).min():.1f}"
+                          f" < {c.loop_min_uv_spread}")
                 continue
+            if _dbg:
+                print(f"[loop]  j={j}: CANDIDATE pnp={n_in}")
             union_ok |= ok2d3d
             union_lm = np.where(ok2d3d, lm_of_match, union_lm)
             cands.append((j, np.asarray(res.model).astype(np.float32)))

@@ -72,3 +72,18 @@ def load_descriptors(name: str = "butterfly-descriptors.txt"):
 @pytest.fixture(scope="session")
 def butterfly() -> np.ndarray:
     return load_image("butterfly.png")
+
+
+@pytest.fixture(scope="session")
+def butterfly_extraction(butterfly):
+    """ONE full SIFT extraction of the butterfly fixture shared by the
+    detection- and descriptor-parity modules (each used to compile its
+    own full pipeline at ~2 min per module on forced-CPU; the session
+    scope pays it once — VERDICT r4 #8). Returns
+    ``(keypoints, descriptors, counters)`` with int counters."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.sift.extract import SIFT
+
+    sift = SIFT(butterfly.shape[0], butterfly.shape[1], SiftConfig())
+    kps, descs, counters = sift.extract(butterfly)
+    return kps, descs, {k: int(v) for k, v in counters.items()}

@@ -23,15 +23,16 @@ CFG = SiftConfig()
 
 
 @pytest.fixture(scope="module")
-def extraction(butterfly):
-    sift = SIFT(butterfly.shape[0], butterfly.shape[1], CFG)
-    kps, descs, counters = sift.extract(butterfly)
+def extraction(butterfly_extraction):
+    # Shares the session-scoped full extraction (conftest) instead of
+    # compiling a second full pipeline (VERDICT r4 #8).
+    _kps, descs, counters = butterfly_extraction
     valid = np.asarray(descs.valid)
     return (
         np.stack([np.asarray(descs.x)[valid], np.asarray(descs.y)[valid]], 1),
         np.asarray(descs.theta)[valid],
         np.asarray(descs.features)[valid],
-        {k: int(v) for k, v in counters.items()},
+        counters,
     )
 
 

@@ -13,9 +13,7 @@ import pytest
 import jax
 
 from siftmetal_tpu.config import SiftConfig
-from siftmetal_tpu.ops.image import rgb_to_gray
-from siftmetal_tpu.sift.pyramid import build_pyramid
-from siftmetal_tpu.sift.detect import detect, extrema_mask, gather_keypoints
+from siftmetal_tpu.sift.detect import extrema_mask
 
 from conftest import load_image, load_keypoint_list
 
@@ -33,20 +31,13 @@ IPOL_COUNTS = {
 
 
 @pytest.fixture(scope="module")
-def detection(butterfly):
-    gray = rgb_to_gray(butterfly)
-    n_oct = CFG.num_octaves(*gray.shape)
-
-    @jax.jit
-    def run(gray):
-        _, dogs = build_pyramid(gray, CFG, n_oct)
-        per_octave, counters = detect(dogs, CFG)
-        kps, kp_dropped = gather_keypoints(per_octave, CFG)
-        counters["keypoint_overflow"] = kp_dropped
-        return kps, counters
-
-    kps, counters = run(gray)
-    return kps, {k: int(v) for k, v in counters.items()}
+def detection(butterfly_extraction):
+    # Shares the session-scoped full extraction (conftest) instead of
+    # compiling a second pyramid+detect program: SIFT.extract routes
+    # through the batched pipeline at B=1, whose equality with the
+    # single-frame detect() path is asserted by tests/test_parallel.py.
+    kps, _descs, counters = butterfly_extraction
+    return kps, counters
 
 
 def test_stage_counts_match_ipol(detection):

@@ -30,6 +30,7 @@ def test_blur_stack_pallas():
     assert np.abs(ref - got).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_patch_kernels_band_resident_equivalent():
     """use_band_patches (band-resident gradient fields + sort-free lane
     permutation, config.py's documented r5 measured-negative — kept as a
@@ -53,11 +54,11 @@ def test_patch_kernels_band_resident_equivalent():
     gauss = jnp.asarray(rng.uniform(0, 1, (b, s, h, w)).astype(np.float32))
     fields = prepare_patch_fields(gauss, cfg0)
 
-    L = 64
+    L = 32
     sigs = np.concatenate([
-        rng.uniform(0.6, 1.3, 32),
-        rng.uniform(1.6, 2.4, 16),
-        rng.uniform(2.8, 3.6, 16),
+        rng.uniform(0.6, 1.3, 16),
+        rng.uniform(1.6, 2.4, 8),
+        rng.uniform(2.8, 3.6, 8),
     ]).astype(np.float32)
     scale = jnp.asarray(
         rng.integers(1, cfg0.n_scales_per_octave + 1, L).astype(np.int32)
@@ -257,8 +258,8 @@ def test_patch_kernels_multikp_pack_equivalent():
     # random per-lane sigmas would push every group's max reach into
     # the coarse (unpacked) bucket and test nothing.
     sigs = np.concatenate([
-        rng.uniform(0.6, 1.3, 24),   # fine bucket: 4 kps per tile
-        rng.uniform(1.6, 2.4, 16),   # mid bucket: 2 kps per tile
+        rng.uniform(0.6, 1.3, 16),   # fine bucket: 4 kps per tile
+        rng.uniform(1.6, 2.4, 8),    # mid bucket: 2 kps per tile
         rng.uniform(2.8, 3.6, 8),    # coarse: unpacked path
     ]).astype(np.float32)
     L = len(sigs)

@@ -350,8 +350,13 @@ def test_detect_loop_closures_fast_regression():
         new_landmarks_per_frame=256,
     )
     smap = SfmMap(k, cfg)
-    smap.initialize(frames[0], frames[1])
-    for f in frames[2:]:
+    # Default-tier coverage of the delayed-bootstrap driver too: the
+    # opening translation is wide enough that the trial accepts an
+    # early pair, and every frame (including the wide one) registers
+    # retroactively through add_frame.
+    w, n0 = smap.initialize_delayed(frames[: cfg.bootstrap_max_delay + 1])
+    assert n0 > 100, (w, n0)
+    for f in frames[1:]:
         ok, n_in, _ = smap.add_frame(f)
         assert ok, n_in
     assert smap.n_cameras == n_frames
@@ -466,8 +471,14 @@ def test_long_sequence_sfm_200_keyframes():
     assert cfg.max_cameras >= 512
     assert cfg.loop_max_candidates > 0
     smap = SfmMap(k, cfg)
-    smap.initialize(frames[0], frames[1])
-    for fi, f in enumerate(frames[2:], start=2):
+    # r5: DELAYED bootstrap (ROADMAP SfM lever #1 / VERDICT r4 #7) —
+    # search the opening frames for a wide pair (picks (0, 5) on this
+    # scene), seed landmarks from it only, register every frame
+    # retroactively through the normal add_frame PnP path so indices
+    # stay temporal.
+    w, n0 = smap.initialize_delayed(frames[: cfg.bootstrap_max_delay + 1])
+    assert 1 <= w <= cfg.bootstrap_max_delay and n0 > 100, (w, n0)
+    for fi, f in enumerate(frames[1:], start=1):
         ok, n_in, _ = smap.add_frame(f)
         assert ok, (fi, n_in)
         if fi % 8 == 0:
@@ -477,21 +488,17 @@ def test_long_sequence_sfm_200_keyframes():
     base_ate = ate_rmse(
         camera_centers(smap.cameras[:n_frames]), camera_centers(cams)
     )
-    # Bar provenance: the original 0.5 was authored in r3 and NEVER
-    # reached (the run collapsed at the loop-completion frame with 9
-    # PnP inliers). r4 fixed registration outright (742 inliers at the
-    # formerly-fatal frame) and measured base_ate 0.93-1.28 across
-    # single-device instrumented runs and 2.36 under this suite's
-    # 8-virtual-device conftest env (partitioning changes float
-    # reduction orders; the early-bootstrap phase amplifies the
-    # difference through RANSAC tie-breaks). The residual is dominated
-    # by the first ~30 keyframes, whose scale is established from the
-    # near-degenerate one-frame bootstrap baseline and frozen once the
-    # BA window slides past; ROADMAP tracks delayed-bootstrap
-    # initialization as the open item. 3.5 pins today's measured
-    # reality (worst observed 2.36) with margin; the drift-repair half
-    # below carries the strict (<0.5x) quality bar.
-    assert base_ate < 3.5, base_ate
+    # Bar provenance: r3 authored 0.5 and never reached it (collapse at
+    # the loop-completion frame); r4 fixed registration and pinned 3.5
+    # against measured 0.93-1.28 single-device / 2.36 in-suite — the
+    # residual was the near-degenerate two-frame bootstrap, whose scale
+    # error froze into the first ~30 keyframes. r5's delayed wide-pair
+    # bootstrap removes that term: measured single-device base ATE 0.61
+    # (benchmarks/sfm_bench.py, 2026-08-21). 1.5 carries the expected
+    # in-suite spread (the 8-virtual-device conftest env changes float
+    # reduction orders; plain-init measured ~2.5x its single-device ATE
+    # here).
+    assert base_ate < 1.5, base_ate
     # r4 duplicate-landmark defenses (parallax gate, guided
     # re-anchoring, reprojection-health culling, top-2-aware merging):
     # duplicates must stay a bounded minority of the live map
