@@ -49,6 +49,12 @@ def main() -> int:
             mxu_blur_precision=os.environ["PARITY_BLUR_PRECISION"],
         )
         print("mxu_blur_precision:", config.mxu_blur_precision)
+    if os.environ.get("PARITY_ONESHOT"):
+        config = dataclasses.replace(
+            config,
+            use_oneshot_pyramid=os.environ["PARITY_ONESHOT"] == "1",
+        )
+        print("use_oneshot_pyramid:", config.use_oneshot_pyramid)
     sift = SIFT(img.shape[0], img.shape[1], config)
     kps, descs, counters = sift.extract(img)
 

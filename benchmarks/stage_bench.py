@@ -59,6 +59,13 @@ def main() -> None:
     if os.environ.get("BENCH_PALLAS_PYR") == "1":
         # A/B the fused cascade+DoG Pallas pyramid (ROADMAP lever #2).
         config = dataclasses.replace(config, use_pallas_pyramid=True)
+    if os.environ.get("BENCH_ONESHOT"):
+        # A/B the batched one-shot Pallas pyramid (r5 lever; =0 forces
+        # it off once the flag defaults ON).
+        config = dataclasses.replace(
+            config,
+            use_oneshot_pyramid=os.environ["BENCH_ONESHOT"] == "1",
+        )
     if os.environ.get("BENCH_ITER1") == "1":
         # Isolate the refinement walk: iteration-1-only detection (the
         # slot path then never gathers; NOT parity-correct, A/B only).

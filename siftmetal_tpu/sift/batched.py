@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import SiftConfig
+from ..ops.pallas import pyramid as _oneshot
 from . import pyramid as _pyramid
 from .pyramid import seed_image
 from ..ops.image import decimate_2x
@@ -63,6 +64,11 @@ def build_pyramid_batch(
         and not bf16
         and jax.default_backend() == "tpu"
     )
+    use_oneshot = (
+        config.use_oneshot_pyramid
+        and not bf16
+        and jax.default_backend() == "tpu"
+    )
     first = seed_image(gray, config, out_dtype=jnp.float32)
     for o in range(n_octaves):
         if o > 0:
@@ -70,7 +76,9 @@ def build_pyramid_batch(
             if bf16:
                 prev = prev.astype(jnp.bfloat16)
             first = decimate_2x(prev, shapes[o])
-        if use_cascade and shapes[o][0] >= 256:
+        if use_oneshot and _oneshot.supports(config, shapes[o][0]):
+            stack, dog = _oneshot.octave_oneshot_pallas(first, config)
+        elif use_cascade and shapes[o][0] >= 256:
             from ..ops.pallas.cascade import octave_cascade_pallas
 
             stack, dog = jax.lax.map(

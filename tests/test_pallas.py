@@ -30,6 +30,41 @@ def test_blur_stack_pallas():
     assert np.abs(ref - got).max() < 1e-6
 
 
+@pytest.mark.parametrize("shape", [(2, 200, 300), (1, 680, 1024)])
+def test_octave_oneshot_pyramid_matches_reference(shape):
+    """The batched one-shot pyramid kernel (ops/pallas/pyramid.py, the
+    default TPU pyramid since r5) must match one-shot shift-add fp32
+    blurs to bf16x3 accuracy, including the fused DoG outputs, ragged
+    heights (200 = 128 + 72 exercises the clamped last band), and the
+    padded column groups (300 -> one 512-col group; 1024 -> two).
+    One-shot FIXTURE parity (vs the incremental cascade the CPU path
+    runs) is asserted on hardware by benchmarks/parity_tpu.py and was
+    measured on CPU at 3069/2136/1939/1772/1305 vs IPOL."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.pallas.pyramid import (
+        octave_oneshot_pallas,
+        oneshot_rhos,
+        supports,
+    )
+
+    cfg = SiftConfig()
+    b, h, w = shape
+    assert supports(cfg, h)
+    rng = np.random.default_rng(7)
+    first = jnp.asarray(rng.uniform(0, 1, shape).astype(np.float32))
+
+    gauss, dog = octave_oneshot_pallas(first, cfg, interpret=True)
+
+    ref = [first]
+    for rho in oneshot_rhos(cfg):
+        ref.append(blur(first, rho))
+    ref = jnp.stack(ref, axis=1)
+    assert np.abs(np.asarray(gauss - ref)).max() < 2e-4
+    assert (
+        np.abs(np.asarray(dog - (ref[:, 1:] - ref[:, :-1]))).max() < 2e-4
+    )
+
+
 @pytest.mark.slow
 def test_patch_kernels_band_resident_equivalent():
     """use_band_patches (band-resident gradient fields + sort-free lane
