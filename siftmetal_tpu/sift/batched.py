@@ -69,14 +69,26 @@ def build_pyramid_batch(
         and not bf16
         and jax.default_backend() == "tpu"
     )
-    first = seed_image(gray, config, out_dtype=jnp.float32)
+    # Octave 0 via the fused seed kernel: the upsample+blur seed stage
+    # folds into the slice matrices and the kernel reads the raw
+    # grayscale directly (ops/pallas/pyramid.seed_octave_pallas).
+    seed_fused = use_oneshot and _oneshot.seed_supports(
+        config, gray.shape[-2], gray.shape[-1]
+    )
+    first = (
+        None
+        if seed_fused
+        else seed_image(gray, config, out_dtype=jnp.float32)
+    )
     for o in range(n_octaves):
         if o > 0:
             prev = gaussians[o - 1][:, config.n_scales_per_octave]
             if bf16:
                 prev = prev.astype(jnp.bfloat16)
             first = decimate_2x(prev, shapes[o])
-        if use_oneshot and _oneshot.supports(config, shapes[o][0]):
+        if o == 0 and seed_fused:
+            stack, dog = _oneshot.seed_octave_pallas(gray, config)
+        elif use_oneshot and _oneshot.supports(config, shapes[o][0]):
             stack, dog = _oneshot.octave_oneshot_pallas(first, config)
         elif use_cascade and shapes[o][0] >= 256:
             from ..ops.pallas.cascade import octave_cascade_pallas

@@ -65,6 +65,36 @@ def test_octave_oneshot_pyramid_matches_reference(shape):
     )
 
 
+@pytest.mark.parametrize("delta_min", [0.5, 1.0])
+def test_seed_octave_pallas_matches_reference(delta_min):
+    """The fused seed+octave-0 kernel (upsample+blur composed into the
+    slice matrices, raw grayscale input, slice 0 emitted by the kernel)
+    must match upsample-then-blur shift-add fp32 to bf16x3 accuracy in
+    both delta_min modes, on a ragged non-multiple-of-tile shape."""
+    from siftmetal_tpu.config import SiftConfig
+    from siftmetal_tpu.ops.image import upsample_bilinear_2x
+    from siftmetal_tpu.ops.pallas.pyramid import (
+        _seed_sigmas,
+        seed_octave_pallas,
+        seed_supports,
+    )
+
+    cfg = SiftConfig(delta_min=delta_min)
+    h, w = 170, 250
+    assert seed_supports(cfg, h, w)
+    rng = np.random.default_rng(11)
+    gray = jnp.asarray(rng.uniform(0, 1, (2, h, w)).astype(np.float32))
+
+    gauss, dog = seed_octave_pallas(gray, cfg, interpret=True)
+
+    base = upsample_bilinear_2x(gray) if delta_min == 0.5 else gray
+    ref = jnp.stack([blur(base, s) for s in _seed_sigmas(cfg)], axis=1)
+    assert np.abs(np.asarray(gauss - ref)).max() < 2e-4
+    assert (
+        np.abs(np.asarray(dog - (ref[:, 1:] - ref[:, :-1]))).max() < 2e-4
+    )
+
+
 @pytest.mark.slow
 def test_patch_kernels_band_resident_equivalent():
     """use_band_patches (band-resident gradient fields + sort-free lane
