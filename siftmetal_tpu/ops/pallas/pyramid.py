@@ -131,15 +131,29 @@ def _split_bf16(a: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _dot3(x_hi, x_lo, t_hi, t_lo):
-    """bf16x3 matmul (== lax HIGH): hi@hi + hi@lo + lo@hi, fp32 acc."""
+    """bf16x3 matmul (== lax HIGH): hi@hi + hi@lo + lo@hi, fp32 acc.
+    ``x_lo is None`` marks a natively-bf16 input (fast mode): the input
+    is exact in hi, so only the matrix split contributes (2 passes)."""
     dn = (((1,), (0,)), ((), ()))
+    pairs = [(x_hi, t_hi), (x_hi, t_lo)]
+    if x_lo is not None:
+        pairs.append((x_lo, t_hi))
     out = None
-    for a, b in ((x_hi, t_hi), (x_hi, t_lo), (x_lo, t_hi)):
+    for a, b in pairs:
         d = jax.lax.dot_general(
             a, b, dn, preferred_element_type=jnp.float32
         )
         out = d if out is None else out + d
     return out
+
+
+def _split_val(x):
+    """(hi, lo) bf16 of an fp32 value; bf16 values pass through exact
+    (lo None)."""
+    if x.dtype == jnp.bfloat16:
+        return x, None
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
 
 def _oneshot_kernel(
@@ -221,19 +235,23 @@ def _oneshot_kernel(
         # window feeds dog[0] = gauss[1] - gauss[0].
         off = pl.multiple_of(BAND * bd - start_of(bd), 8)
         prev = xin2[slot, pl.ds(off, BAND), :][:, 64 : 64 + wt_cols]
+        prev = prev.astype(jnp.float32)
 
-    x_hi = xin.astype(jnp.bfloat16)
-    x_lo = (xin - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_hi, x_lo = _split_val(xin)
 
     for s in range(n_slices):
         cols = []
         for tt in range(len(win_offs)):
             w_hi = x_hi[:, win_offs[tt] : win_offs[tt] + 256]
-            w_lo = x_lo[:, win_offs[tt] : win_offs[tt] + 256]
+            w_lo = (
+                None
+                if x_lo is None
+                else x_lo[:, win_offs[tt] : win_offs[tt] + 256]
+            )
             cols.append(
                 _dot3(w_hi, w_lo, tx_hi_ref[s, tt], tx_lo_ref[s, tt])
             )
-        xw = jnp.concatenate(cols, axis=1)          # [rows_in, WT_COLS]
+        xw = jnp.concatenate(cols, axis=1)          # [rows_in, wt_cols]
         xw_hi = xw.astype(jnp.bfloat16)
         xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         # Y pass contracts the row axis: out[v, c] = sum_u T[u, v] x[u, c].
@@ -326,7 +344,8 @@ def octave_oneshot_pallas(
     )
 
     gaussians = jnp.concatenate(
-        [first[:, None], gauss[:, :, :h, :w]], axis=1
+        [first[:, None].astype(jnp.float32), gauss[:, :, :h, :w]],
+        axis=1,
     )
     return gaussians, dog[:, :, :h, :w]
 
@@ -400,7 +419,7 @@ def _call_oneshot(
             jax.ShapeDtypeStruct((b, n_dog, hp, wc), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows_in, dma_cols), jnp.float32),
+            pltpu.VMEM((2, rows_in, dma_cols), xpad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -64,10 +64,12 @@ def build_pyramid_batch(
         and not bf16
         and jax.default_backend() == "tpu"
     )
+    # bf16 fast mode included: the kernels read a natively-bf16 chain
+    # (the input is exact in the matmuls' hi operand) and emit the fp32
+    # accumulator — the same read-bf16/emit-fp32 contract as the XLA
+    # fast-mode path.
     use_oneshot = (
-        config.use_oneshot_pyramid
-        and not bf16
-        and jax.default_backend() == "tpu"
+        config.use_oneshot_pyramid and jax.default_backend() == "tpu"
     )
     # Octave 0 via the fused seed kernel: the upsample+blur seed stage
     # folds into the slice matrices and the kernel reads the raw
@@ -89,7 +91,9 @@ def build_pyramid_batch(
         if o == 0 and seed_fused:
             stack, dog = _oneshot.seed_octave_pallas(gray, config)
         elif use_oneshot and _oneshot.supports(config, shapes[o][0]):
-            stack, dog = _oneshot.octave_oneshot_pallas(first, config)
+            stack, dog = _oneshot.octave_oneshot_pallas(
+                first.astype(jnp.bfloat16) if bf16 else first, config
+            )
         elif use_cascade and shapes[o][0] >= 256:
             from ..ops.pallas.cascade import octave_cascade_pallas
 
