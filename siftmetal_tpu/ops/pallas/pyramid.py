@@ -56,8 +56,8 @@ from ...config import SiftConfig
 HALO = 24        # vertical halo rows each side; holds radii <= 24
 BAND = 128       # output rows per band
 ROWS_IN = BAND + 2 * HALO   # 176
-WT_COLS = 512    # output cols per column group (4 lane tiles)
-DMA_COLS = WT_COLS + 128    # input cols incl. the X pass's 64+64 halo
+DMA_COLS = 640   # default input cols per step: 4-tile group + X halo
+                 # (column groups are sized per call by _pick_ntt)
 
 
 def oneshot_rhos(config: SiftConfig) -> Tuple[float, ...]:
