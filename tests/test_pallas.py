@@ -65,6 +65,28 @@ def test_octave_oneshot_pyramid_matches_reference(shape):
     )
 
 
+def test_pick_ntt_grouping():
+    """Column-group sizing: zero padding waste when a clean divisor <= 5
+    exists, 128-aligned input strides always (even group sizes when the
+    per-tile input stride is 64, i.e. upsampling)."""
+    from siftmetal_tpu.ops.pallas.pyramid import _pick_ntt
+
+    for n_t in range(1, 40):
+        for stride in (64, 128):
+            k = _pick_ntt(n_t, stride)
+            assert (stride * k) % 128 == 0, (n_t, stride, k)
+            waste = -(-n_t // k) * k - n_t
+            allowed = [
+                j for j in range(1, 6) if (stride * j) % 128 == 0
+            ]
+            best = min(-(-n_t // j) * j - n_t for j in allowed)
+            assert waste == best, (n_t, stride, k, waste, best)
+    # Spot values: octave widths of the 640x480 parity pipeline.
+    assert _pick_ntt(10, 128) == 5   # oct0 1280 cols -> two 640 groups
+    assert _pick_ntt(5, 128) == 5    # oct1 640 cols -> one group
+    assert _pick_ntt(10, 64) == 2    # seed rect: even sizes only
+
+
 @pytest.mark.parametrize("delta_min", [0.5, 1.0])
 def test_seed_octave_pallas_matches_reference(delta_min):
     """The fused seed+octave-0 kernel (upsample+blur composed into the
